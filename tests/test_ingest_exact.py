@@ -1,0 +1,93 @@
+"""Exact tier vs brute-force oracles.
+
+(a) per-row sha256(content) equality vs hashlib — the north_rule's
+    per-row invariant against the source table;
+(b) exact-dup cluster membership vs a pandas groupby — uncp
+    IdenticalHashes semantics (src/relations.rs:327-339).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from uncp_spark.operators.exact import (
+    exact_cluster_edges,
+    exact_clusters,
+    exact_representatives,
+    same_name_groups,
+    same_size_groups,
+)
+from uncp_spark.operators.ingest import ingest
+
+
+def test_sha256_invariant(spark, repos_df):
+    files = ingest(repos_df)
+    got = {
+        (r["repo"], r["path"]): r["sha256"]
+        for r in files.select("repo", "path", "sha256").collect()
+    }
+    for row in repos_df.select("repo", "path", "content").collect():
+        expect = hashlib.sha256(row["content"].encode()).hexdigest()
+        assert got[(row["repo"], row["path"])] == expect
+
+
+def test_ingest_derived_columns(spark, repos_df):
+    row = (
+        ingest(repos_df)
+        .filter(F.col("path") == "config.json")
+        .select("size", "depth", "filename", "ext", "file_id")
+        .first()
+    )
+    assert row["depth"] == 1
+    assert row["filename"] == "config.json"
+    assert row["ext"] == "json"
+    assert row["size"] > 0
+
+
+def test_exact_clusters_vs_bruteforce(spark, repos_df):
+    files = ingest(repos_df)
+    pdf = files.select("sha256", "path").toPandas()
+    oracle = (
+        pdf.groupby("sha256")["path"]
+        .apply(lambda s: tuple(sorted(s)))
+        .reset_index(name="paths")
+    )
+    oracle = oracle[oracle["paths"].str.len() >= 2]
+    got = {
+        r["hash_value"]: tuple(r["file_paths"])
+        for r in exact_clusters(files).collect()
+    }
+    expect = dict(zip(oracle["sha256"], oracle["paths"]))
+    assert got == expect
+    assert len(got) > 0  # fixture plants exact dups
+
+
+def test_same_name_and_size_groups(spark, repos_df):
+    files = ingest(repos_df)
+    names = {r["filename_key"]: r["file_count"] for r in same_name_groups(files).collect()}
+    assert names.get("config.json", 0) >= 10  # planted in every repo
+    sizes = same_size_groups(files)
+    pdf = files.groupBy("size").count().filter(F.col("count") >= 2).toPandas()
+    assert sizes.count() == len(pdf)
+
+
+def test_representatives_one_per_hash(spark, repos_df):
+    files = ingest(repos_df)
+    reps = exact_representatives(files)
+    n_hashes = files.select("sha256").distinct().count()
+    assert reps.count() == n_hashes
+    assert reps.select("sha256").distinct().count() == n_hashes
+
+
+def test_exact_edges_star_shape(spark, repos_df):
+    files = ingest(repos_df)
+    edges = exact_cluster_edges(files).collect()
+    # per sha256 group of size n: exactly n-1 edges, all touching min id
+    sizes = (
+        ingest(repos_df).groupBy("sha256").count().filter(F.col("count") >= 2).collect()
+    )
+    expected = sum(r["count"] - 1 for r in sizes)
+    assert len(edges) == expected
+    assert all(e["src"] < e["dst"] for e in edges)

@@ -1,0 +1,77 @@
+"""Pinned similarity configuration (FIXTURES.md §4).
+
+The dup-pair recall gate (≥0.99 vs brute-force exact Jaccard) is defined
+*at this config*; every signature-producing operator takes a
+``SimilarityConfig`` so one dataclass pins the whole pipeline.
+
+Reference parity: uncp reads raw bytes and blake3-hashes them
+(src/systems/hashing.rs:188-190); the north_rule replaces that with
+sha256 for the exact tier and adds the normalize→shingle→MinHash/SimHash
+fuzzy tiers that uncp only designed (DESIGN.md:219-258,
+src/similarity.rs:1-7 stub).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+import hashlib
+import json
+
+# Mersenne prime 2^31 - 1. Shingle hashes are reduced mod MINHASH_PRIME
+# before permutation so a_i * h + b_i stays < 2^62 and fits int64/uint64
+# inside the vectorized numpy kernel (no Python bigints in the hot path).
+MINHASH_PRIME = (1 << 31) - 1
+
+
+@dataclass(frozen=True)
+class SimilarityConfig:
+    """One dataclass = the pinned shingle/signature config."""
+
+    # --- normalization (F14) ---
+    lowercase: bool = True
+    collapse_whitespace: bool = True
+
+    # --- shingling (F14) ---
+    shingle_k: int = 5          # tokens per shingle
+    char_shingle_k: int = 9     # char k-grams for files shorter than shingle_k tokens
+
+    # --- MinHash (F15) ---
+    num_perm: int = 128
+    seed: int = 42
+    prime: int = MINHASH_PRIME
+
+    # --- LSH ---
+    bands: int = 32
+    rows_per_band: int = 4      # bands * rows_per_band == num_perm
+
+    # --- SimHash (F16) ---
+    simhash_bits: int = 64
+
+    # --- pair acceptance thresholds (S5 verify) ---
+    jaccard_threshold: float = 0.7
+    hamming_threshold: int = 3
+    containment_threshold: float = 0.9
+
+    # --- skew handling (M7) ---
+    # LSH buckets larger than this are "hot bands" (boilerplate: LICENSE
+    # files, generated code). They are not self-joined quadratically;
+    # counts of skipped buckets are logged to metrics. Exact duplicates
+    # never reach LSH (they collapse to one representative per sha256),
+    # so a hot bucket here is genuinely pathological content.
+    hot_band_cap: int = 2000
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands ({self.bands}) * rows_per_band ({self.rows_per_band}) "
+                f"must equal num_perm ({self.num_perm})"
+            )
+
+    def config_hash(self) -> str:
+        """Stable hash of the config; stamped into checkpoint manifests so a
+        resume with a different config invalidates downstream stages."""
+        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = SimilarityConfig()

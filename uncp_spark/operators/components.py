@@ -1,0 +1,115 @@
+"""S6 — distributed connected components over the edge DataFrame.
+
+The reference only ever groups by a single key (hash → group,
+src/relations.rs:327-339); multi-tier edges (exact ∪ minhash ∪ simhash ∪
+containment) need real graph clustering, which the north_rule pins as
+"union-find over iterative DataFrame self-joins".
+
+Algorithm: alternating large-star / small-star (Kiveris et al., 2014,
+"Connected Components in MapReduce and Beyond"). Each operation is one
+groupBy-min + one join — all equi-shuffles on node id — and the
+alternation converges in O(log n) rounds even on high-diameter graphs,
+unlike naive label propagation's O(diameter). Every round
+localCheckpoints to cut lineage (SURVEY.md §7.3 hard part #2).
+
+Output: labels(file_id, cluster_id) where cluster_id = min file_id of
+the component — deterministic, so cluster ids are reproducible across
+runs (the recall gate compares memberships).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Orient every edge large→small, drop self-loops, dedup."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node, connect all strictly-larger neighbors to
+    min(N(u) ∪ {u})."""
+    und = e.select("u", "v").unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        und.groupBy("u")
+        .agg(F.min("v").alias("minv"))
+        .select("u", F.least("u", "minv").alias("m"))
+    )
+    return (
+        und.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For each node u (edges oriented u > v), connect all of
+    N(u) ∪ {u} to the minimum."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        e.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return (
+        relink.unionAll(mins.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _checksum(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """edges(src, dst) → labels(file_id, cluster_id).
+
+    Only nodes that appear in an edge are labeled; callers union in
+    singleton labels for isolated files (see ``label_all``).
+    """
+    spark = edges.sparkSession
+    e = _canonical(edges).localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+    # converged edge set is a forest of stars: u → component-min
+    members = e.select(F.col("u").alias("file_id"), F.col("v").alias("cluster_id"))
+    roots = (
+        e.select(F.col("v").alias("file_id"))
+        .distinct()
+        .join(members.select("file_id"), "file_id", "left_anti")
+        .select("file_id", F.col("file_id").alias("cluster_id"))
+    )
+    return members.unionByName(roots)
+
+
+def label_all(files: DataFrame, labels: DataFrame) -> DataFrame:
+    """Attach cluster_id to every file; files in no edge become their own
+    singleton cluster."""
+    return files.join(labels, "file_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", "file_id")
+    )

@@ -1,0 +1,92 @@
+"""Exact tier — hash / name / size group relations.
+
+Reproduces uncp's relation tables (the only fully-specified cluster
+semantics in the reference):
+
+  exact_clusters    IdenticalHashes  (src/relations.rs:327-339): one row
+                    per content hash shared by ≥2 files, with the member
+                    path list and count. A4 in SURVEY.md §2.4.
+  same_name_groups  SameFileName     (src/relations.rs:354-366), A5.
+  same_size_groups  SameSize         (src/relations.rs:369-392), A6 —
+                    uncp's designed cheap blocking tier.
+
+Scale notes: one shuffle each (groupBy on the key); partial aggregation
+(map-side combine) applies to count/min but NOT to collect_list — at
+100 TB a collect_list of paths per hash is only safe because dup-group
+sizes are bounded in practice (boilerplate aside, which the hot-band cap
+tracks); the pairwise/cluster tables downstream never materialize member
+lists for giant groups. Member lists are sorted so cluster ids and
+oracle hashes are deterministic (uncp uses uuid v4, src/data.rs:439-444;
+we need reproducibility, F8 in SURVEY.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _group_relation(files: DataFrame, key: str, out_key: str, min_count: int = 2) -> DataFrame:
+    agg = (
+        files.groupBy(F.col(key).alias(out_key))
+        .agg(
+            F.sort_array(F.collect_list("path")).alias("file_paths"),
+            F.count("*").alias("file_count"),
+            F.sum("size").alias("total_size"),
+        )
+    )
+    if min_count > 1:
+        agg = agg.filter(F.col("file_count") >= min_count)
+    return agg
+
+
+def exact_clusters(files: DataFrame, min_count: int = 2) -> DataFrame:
+    """groupBy(sha256) → member lists. uncp IdenticalHashes semantics."""
+    return _group_relation(files, "sha256", "hash_value", min_count).withColumn(
+        "hash_type", F.lit("sha256")
+    )
+
+
+def same_name_groups(files: DataFrame, min_count: int = 2) -> DataFrame:
+    return _group_relation(files, "filename", "filename_key", min_count)
+
+
+def same_size_groups(files: DataFrame, min_count: int = 2) -> DataFrame:
+    return _group_relation(files, "size", "size_bytes", min_count)
+
+
+def exact_cluster_edges(files: DataFrame) -> DataFrame:
+    """Exact-dup edges (file_id_a < file_id_b) feeding connected
+    components: each file links to the min-file_id representative of its
+    sha256 group — a star, not a quadratic clique, so a boilerplate blob
+    shared by 10^6 files yields 10^6-1 edges, not 10^12.
+    """
+    reps = files.groupBy("sha256").agg(F.min("file_id").alias("rep_id"))
+    return (
+        files.join(reps, "sha256")
+        .filter(F.col("file_id") != F.col("rep_id"))
+        .select(
+            F.least("file_id", "rep_id").alias("src"),
+            F.greatest("file_id", "rep_id").alias("dst"),
+            F.lit(1.0).alias("score"),
+            F.lit("exact").alias("edge_type"),
+        )
+    )
+
+
+def exact_representatives(files: DataFrame) -> DataFrame:
+    """One representative row per distinct content hash — the LSH tiers
+    run over representatives only, so N exact copies cost one signature
+    and boilerplate cannot create hot LSH buckets by itself. The scale
+    lever: at 10^12 files with heavy duplication this shrinks the
+    signature stage by the duplication factor."""
+    w_cols = ["file_id", "repo", "path", "lang", "content", "sha256", "size", "depth"]
+    return (
+        files.select(*w_cols)
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("sha256").orderBy("file_id")),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,103 @@
+"""S4 — LSH banding and candidate-pair generation.
+
+Replaces the reference's *designed* pairwise similarity self-join
+(DESIGN.md:109-117, J3 in SURVEY.md §2.3) with the scalable plan: never
+the naive cross join — signatures are split into b bands of r rows,
+each band slice hashed to a bucket key, and only same-bucket files pair
+up. Collision probability for a pair at Jaccard s is 1 - (1 - s^r)^b
+(≈ 0.9998 at s = 0.7 with b=32, r=4 — the ≥0.99 recall budget).
+
+Scale/skew design (north_rule "salted band-key repartitioning and
+broadcast of hot bands"):
+  - exact duplicates never enter LSH (exact.exact_representatives), so
+    byte-identical boilerplate cannot flood buckets;
+  - pair expansion happens inside a groupBy bucket (one shuffle), not a
+    self-join (two), and is JVM-side (transform/flatten combinatorics);
+  - buckets above cfg.hot_band_cap are quarantined, counted, and
+    reported — a quadratic blow-up inside one bucket is the single way
+    an LSH job dies at 10^12 files. Hot buckets still contribute edges
+    via a linear star (every member → bucket-min member) so recall on
+    pathological near-identical floods degrades gracefully instead of
+    exploding; the star edges are marked ``from_hot_band`` and counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from uncp_spark.config import SimilarityConfig
+
+
+def band_keys(sigs: DataFrame, cfg: SimilarityConfig,
+              sig_col: str = "minhash", id_col: str = "file_id") -> DataFrame:
+    """(file_id, band, band_hash) — one row per file per band."""
+    r = cfg.rows_per_band
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
+        lambda i: F.slice(F.col(sig_col), i * r + 1, r),
+    )
+    return (
+        sigs.select(F.col(id_col).alias("file_id"), F.posexplode(slices).alias("band", "band_sig"))
+        .select("file_id", "band", F.xxhash64("band", "band_sig").alias("band_hash"))
+    )
+
+
+def _pairs_from_sorted_ids(ids_col):
+    """JVM-side expansion of all (ids[i], ids[j]) i<j pairs from a sorted
+    id array: flatten(transform(...)) — no Python, no self-join."""
+    n = F.size(ids_col)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(ids_col, i + 1, n - i),
+                lambda y: F.struct(
+                    F.element_at(ids_col, i).alias("src"), y.alias("dst")
+                ),
+            ),
+        )
+    )
+
+
+def candidate_pairs(
+    sigs: DataFrame, cfg: SimilarityConfig, id_col: str = "file_id"
+) -> tuple[DataFrame, DataFrame]:
+    """→ (pairs(src < dst), hot_bucket_report).
+
+    pairs carries ``from_hot_band`` so downstream metrics can separate
+    full-fidelity candidates from degraded hot-bucket stars.
+    """
+    bk = band_keys(sigs, cfg, id_col=id_col)
+    buckets = (
+        bk.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("file_id")).alias("ids"))
+        .withColumn("bucket_size", F.size("ids"))
+        .filter(F.col("bucket_size") >= 2)
+    )
+    # localCheckpoint not needed: buckets used twice but cheap to recompute;
+    # at cluster scale persist() here to avoid re-shuffling the band table.
+    normal = buckets.filter(F.col("bucket_size") <= cfg.hot_band_cap)
+    hot = buckets.filter(F.col("bucket_size") > cfg.hot_band_cap)
+
+    normal_pairs = normal.select(
+        F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("pr")
+    ).select(
+        F.col("pr.src").alias("src"),
+        F.col("pr.dst").alias("dst"),
+        F.lit(False).alias("from_hot_band"),
+    )
+    # hot buckets: linear star to the min id instead of the quadratic clique
+    hot_pairs = hot.select(
+        F.element_at("ids", 1).alias("src"), F.explode(F.slice("ids", 2, F.size("ids"))).alias("dst")
+    ).select("src", "dst", F.lit(True).alias("from_hot_band"))
+
+    pairs = (
+        normal_pairs.unionByName(hot_pairs)
+        .groupBy("src", "dst")
+        .agg(F.max("from_hot_band").alias("from_hot_band"))
+    )
+    hot_report = hot.select(
+        "band", "band_hash", "bucket_size"
+    )
+    return pairs, hot_report

@@ -1,0 +1,77 @@
+"""S5 — candidate-pair verification → scored edge table.
+
+Implements the reference's designed multi-tier similarity scoring
+(DESIGN.md:219-258; SimilarityProvider stub src/similarity.rs:3-7) as
+pure column math over the signature table — no Python in this stage:
+
+  est_jaccard   fraction of agreeing MinHash positions
+                (zip_with + filter + size — F12 in SURVEY.md §2.7)
+  hamming       bit_count(simhash_a XOR simhash_b)
+  containment   |shingles_a ∩ shingles_b| / min(|a|, |b|)  — exact on
+                the shingle sets, evaluated only for candidate pairs
+
+A pair becomes an edge when (pinned thresholds, SimilarityConfig):
+  est_jaccard ≥ 0.7  OR  hamming ≤ 3  OR  containment ≥ 0.9
+
+Scale notes: the signature table is joined twice (src, dst). Shingle
+arrays ride along only here, only for candidates (a small multiple of
+the true-dup count, never O(n²)). Both joins are plain equi-joins on
+file_id; AQE handles size-based strategy choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from uncp_spark.config import SimilarityConfig
+
+
+def score_pairs(
+    pairs: DataFrame, sigs: DataFrame, cfg: SimilarityConfig
+) -> DataFrame:
+    """pairs(src, dst) × sigs(file_id, minhash, simhash, shingles) →
+    scored pairs."""
+    a = sigs.select(
+        F.col("file_id").alias("src"),
+        F.col("minhash").alias("mh_a"),
+        F.col("simhash").alias("sh_a"),
+        F.col("shingles").alias("sg_a"),
+    )
+    b = sigs.select(
+        F.col("file_id").alias("dst"),
+        F.col("minhash").alias("mh_b"),
+        F.col("simhash").alias("sh_b"),
+        F.col("shingles").alias("sg_b"),
+    )
+    eq = F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int"))
+    est_j = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / F.lit(cfg.num_perm)
+    inter = F.size(F.array_intersect("sg_a", "sg_b")).cast("double")
+    containment = inter / F.least(F.size("sg_a"), F.size("sg_b")).cast("double")
+
+    return (
+        pairs.join(a, "src")
+        .join(b, "dst")
+        .withColumn("est_jaccard", est_j)
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .withColumn("containment", containment)
+        .select("src", "dst", "from_hot_band", "est_jaccard", "hamming", "containment")
+    )
+
+
+def accept_edges(scored: DataFrame, cfg: SimilarityConfig) -> DataFrame:
+    """Threshold filter → edges(src, dst, score, edge_type)."""
+    cond = (
+        (F.col("est_jaccard") >= cfg.jaccard_threshold)
+        | (F.col("hamming") <= cfg.hamming_threshold)
+        | (F.col("containment") >= cfg.containment_threshold)
+    )
+    return scored.filter(cond).select(
+        "src",
+        "dst",
+        F.greatest("est_jaccard", "containment").alias("score"),
+        F.when(F.col("containment") >= cfg.containment_threshold, "containment")
+        .when(F.col("est_jaccard") >= cfg.jaccard_threshold, "minhash")
+        .otherwise("simhash")
+        .alias("edge_type"),
+    )

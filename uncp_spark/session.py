@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Local-mode testing surrogate for the real deployment (spark-submit
+--py-files on a multi-executor cluster). Arrow + AQE on; shuffle
+partitions sized to cores (the sandbox has no network shuffle, but the
+plan shapes — hash-partitioned band joins, AQE skew splits — are the
+ones a 1000-executor cluster would run).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cores: int | str | None = None,
+    app_name: str = "uncp_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession tuned for this engine.
+
+    ``cores``: int N → local[N]; "*" → local[*]; None → $SPARK_GRAFT_CPUS
+    or all cores.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    n = (os.cpu_count() or 8) if cores == "*" else int(cores)
+    if shuffle_partitions is None:
+        # 2x cores: enough tasks for AQE to coalesce, not so many that
+        # task overhead dominates at local scale. On a real cluster this
+        # scales with executors*cores (set via spark-submit conf).
+        shuffle_partitions = max(2 * n, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bound Arrow batch size so the numpy MinHash kernel's
+        # (num_perm x total_shingles) work matrix stays in-cache.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,126 @@
+"""Checkpointed stage tables — the resumability backbone.
+
+Reference parity: uncp persists its state as Parquet with an atomic
+tmp-file + rename and a meta.json manifest (src/persist.rs:112-233,
+S4/S6 in SURVEY.md §2.1), merges on save for resumability
+(src/persist.rs:208-233, S7), and autosaves every ≥5 s so a killed run
+loses ≤5 s of work (src/engine.rs:449-461, T2).
+
+Spark-first re-expression: every pipeline stage writes its output as a
+Parquet directory plus a ``_manifest.json`` recording the stage name,
+config hash, input manifest hashes, row count and per-partition metrics.
+A stage is *complete* iff the directory holds Spark's ``_SUCCESS`` marker
+AND a manifest whose config/input hashes match the current run — so a
+killed job resumes at the first incomplete stage, and a config change
+invalidates everything downstream (uncp's cache-invalidation semantics,
+src/detector.rs:783-885, re-keyed on config instead of mtime).
+
+At production scale the same seam is an Iceberg table per stage:
+``df.writeTo(tbl).overwritePartitions()`` gives the atomic commit and
+snapshot lineage; this module keeps that API shape without the jar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_manifest.json"
+
+
+@dataclass
+class StageResult:
+    name: str
+    path: str
+    rows: int
+    seconds: float
+    resumed: bool
+    manifest: dict = field(default_factory=dict)
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, MANIFEST)
+
+
+def read_manifest(path: str) -> dict | None:
+    try:
+        with open(_manifest_path(path)) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def is_complete(path: str, config_hash: str, input_token: str) -> bool:
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    m = read_manifest(path)
+    return (
+        m is not None
+        and m.get("config_hash") == config_hash
+        and m.get("input_token") == input_token
+        and m.get("complete") is True
+    )
+
+
+def partition_metrics(df: DataFrame) -> list[dict]:
+    """Per-partition row counts — the 'per-partition lineage and metrics'
+    the north_rule requires on every checkpoint."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .count()
+        .orderBy("partition_id")
+        .collect()
+    )
+    return [{"partition_id": int(r[0]), "rows": int(r[1])} for r in rows]
+
+
+def write_checkpoint(
+    df: DataFrame,
+    path: str,
+    name: str,
+    config_hash: str,
+    input_token: str,
+    extra: dict | None = None,
+) -> StageResult:
+    """Write df as the stage's Parquet output + manifest. Atomicity: the
+    manifest (with complete=true) is written only after the Parquet
+    commit succeeds, so readers treat manifest-less dirs as garbage."""
+    t0 = time.monotonic()
+    df.write.mode("overwrite").parquet(path)
+    out = df.sparkSession.read.parquet(path)
+    per_part = partition_metrics(out)
+    rows = sum(p["rows"] for p in per_part)
+    seconds = time.monotonic() - t0
+    manifest = {
+        "stage": name,
+        "config_hash": config_hash,
+        "input_token": input_token,
+        "rows": rows,
+        "seconds": round(seconds, 3),
+        "n_partitions": len(per_part),
+        "partition_metrics": per_part,
+        "complete": True,
+        "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        **(extra or {}),
+    }
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, _manifest_path(path))  # atomic rename, persist.rs:121-139 parity
+    return StageResult(name, path, rows, seconds, resumed=False, manifest=manifest)
+
+
+def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def manifest_token(path: str) -> str:
+    """Token identifying a completed checkpoint's content, chained into
+    downstream manifests (lineage)."""
+    m = read_manifest(path) or {}
+    return f"{m.get('stage')}:{m.get('rows')}:{m.get('config_hash')}"
