@@ -1,0 +1,87 @@
+"""ANN / cosine search: brute force as oracle, RP-LSH as the scale path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from uncp_spark.functions.similarity_search import (
+    ann_topk,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    rp_lsh_buckets,
+)
+
+SF = "/root/testdata/sf0.001"
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for qid, hits in by_q.items():
+        qv = mat_n[ids == qid][0]
+        sims = mat_n @ qv
+        order = np.lexsort((ids, -np.round(sims, 6)))[:5]
+        expect = list(ids[order])
+        gotids = [h[1] for h in sorted(hits)]
+        assert gotids == expect, (qid, gotids, expect)
+        assert len(hits) == 5
+
+
+def test_rp_buckets_deterministic(spark, emb):
+    b1 = rp_lsh_buckets(emb, DIM, bits=12, tables=4).select("vec_id", "table", "bucket")
+    b2 = rp_lsh_buckets(emb, DIM, bits=12, tables=4).select("vec_id", "table", "bucket")
+    assert b1.exceptAll(b2).count() == 0
+    assert b1.count() == emb.count() * 4
+    assert b1.select("bucket").distinct().count() > 1
+
+
+def test_ann_recall_vs_bruteforce(spark, emb):
+    """Within-bucket ANN must recover a reasonable share of true top-1
+    neighbors (random gaussian embeddings are the adversarial case for
+    LSH; near-dup use cases have far higher cosine and higher recall)."""
+    n = emb.count()
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, queries, k=2)  # k=2: self is rank 1
+    exact_top = {
+        r["query_id"]: r["vec_id"] for r in exact.filter("rank = 2").collect()
+    }
+    ann = ann_topk(emb, k=1, dim=DIM, bits=6, tables=8)
+    got = {r["vec_id"]: r["nbr_id"] for r in ann.filter("rank = 1").collect()}
+    hits = sum(1 for q, t in exact_top.items() if got.get(q) == t)
+    assert hits / len(exact_top) >= 0.25
+    # candidate count stays far below the cross join
+    assert ann.count() <= n
+
+
+def test_embedding_near_dup_pairs_finds_planted(spark, emb):
+    # plant: duplicate 5 vectors with tiny noise → cosine ≈ 1
+    base = emb.limit(5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.000001).alias("embedding"),
+        F.col("label"),
+    )
+    df = emb.unionByName(base)
+    pairs = embedding_near_dup_pairs(df, dim=DIM, threshold=0.99, bits=8)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(i, i + 100000) for i in (0, 1, 2, 3, 4)}
+    assert planted <= found
