@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship near-dup pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one (fuzzy-signature internals get rows-only checks).
+
+Dedup queries run over a ``repos``-shaped table derived deterministically
+and *SQL-expressibly* from the driver's ``documents`` view
+(uncp_spark.fixtures.repos_from_documents): every 3rd doc gets an exact
+mirror copy, every 5th a near-duplicate fork (appended token tail), so
+exact/near cluster semantics are exercised with known structure.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark plan and the oracle SQL; doubles are rounded on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +20,487 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from uncp_spark.config import SimilarityConfig
+from uncp_spark.fixtures import REPOS_FROM_DOCUMENTS_DUCKDB, repos_from_documents
+from uncp_spark.functions.similarity_search import cosine_topk
+from uncp_spark.functions.text import lang_id, quality_score, token_count, fingerprint64
+from uncp_spark.operators.components import connected_components, label_all
+from uncp_spark.operators.containment import substring_containment
+from uncp_spark.operators.dedup import dedup_keep_last
+from uncp_spark.operators.exact import (
+    exact_cluster_edges,
+    exact_clusters,
+    exact_representatives,
+    same_name_groups,
+    same_size_groups,
+)
+from uncp_spark.operators.ingest import ingest
+from uncp_spark.operators.lsh import candidate_pairs
+from uncp_spark.operators.priority import cluster_stats, priority_ranked
+from uncp_spark.operators.shingle import with_shingles
+from uncp_spark.operators.signatures import with_signatures
+from uncp_spark.operators.verify import accept_edges, score_pairs
+
+CFG = SimilarityConfig()
+
+# ---------------------------------------------------------------- helpers
+
+def _files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ingest() over the documents-derived repos table."""
+    return ingest(repos_from_documents(spark, sf_dir))
+
+
+def _sigs(files: DataFrame) -> DataFrame:
+    reps = exact_representatives(files)
+    return with_signatures(with_shingles(reps, CFG), CFG).select(
+        "file_id", "repo", "path", "lang", "size", "depth",
+        "minhash", "simhash", "shingles", "n_shingles", "norm_text",
+    )
+
+
+def _near_dup_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = _files(spark, sf_dir)
+    sigs = _sigs(files)
+    pairs, _hot = candidate_pairs(sigs, CFG)
+    near = accept_edges(score_pairs(pairs, sigs, CFG), CFG)
+    edges = near.select("src", "dst").unionByName(
+        exact_cluster_edges(files).select("src", "dst")
+    )
+    labels = connected_components(edges)
+    return label_all(files, labels)
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: priority-ranked near-duplicate clusters on sf0.001."""
+    labeled = _near_dup_labeled(spark, "/root/testdata/sf0.001")
+    return priority_ranked(cluster_stats(labeled))
+
+
+# ---------------------------------------------------------------- queries
+
+def q_sha256_invariant(spark, sf_dir):
+    return _files(spark, sf_dir).select(
+        "repo", "path", "sha256", F.col("size").alias("n_bytes")
+    )
+
+
+def q_exact_dup_clusters(spark, sf_dir):
+    return exact_clusters(_files(spark, sf_dir)).select(
+        "hash_value",
+        F.array_join("file_paths", ",").alias("members"),
+        "file_count",
+        "total_size",
+    )
+
+
+def q_same_size_groups(spark, sf_dir):
+    return same_size_groups(_files(spark, sf_dir)).select(
+        "size_bytes",
+        F.array_join("file_paths", ",").alias("members"),
+        "file_count",
+    )
+
+
+def q_same_name_groups(spark, sf_dir):
+    return (
+        same_name_groups(_files(spark, sf_dir))
+        .filter(F.col("file_count") >= 3)
+        .select(
+            "filename_key",
+            F.col("file_count"),
+            "total_size",
+        )
+    )
+
+
+def q_exact_cluster_priority(spark, sf_dir):
+    files = _files(spark, sf_dir)
+    stats = (
+        files.groupBy(F.col("sha256").alias("cluster_key"))
+        .agg(
+            F.count("*").alias("dup_count"),
+            (F.sum("size") - F.max("size")).alias("bytes_reclaimable"),
+            F.min("depth").alias("min_depth"),
+        )
+        .filter(F.col("dup_count") >= 2)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.desc("bytes_reclaimable"), F.desc("dup_count"),
+        F.asc("min_depth"), F.asc("cluster_key"),
+    )
+    return stats.withColumn("priority_rank", F.row_number().over(w))
+
+
+def q_files_by_lang(spark, sf_dir):
+    return (
+        _files(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_files"), F.sum("size").alias("total_bytes"))
+    )
+
+
+def q_path_predicates(spark, sf_dir):
+    """P5-P8: prefix/extension/size predicates, counted by extension."""
+    files = _files(spark, sf_dir)
+    return (
+        files.filter(
+            F.col("path").startswith("docs/")
+            & (F.col("ext") == "txt")
+            & F.col("size").between(50, 100000)
+            & F.col("filename").contains("doc_")
+        )
+        .groupBy("ext")
+        .agg(F.count("*").alias("n_files"))
+    )
+
+
+def q_dedup_keep_last(spark, sf_dir):
+    """U3 on events: latest event per user (keep-last window idiom)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = dedup_keep_last(
+        events, ["user_id"], [F.col("ts"), F.col("event_id")]
+    )
+    return out.select("user_id", "event_id", "event_type",
+                      F.round("value", 4).alias("value_r"))
+
+
+def q_upsert_coalesce(spark, sf_dir):
+    """J1: left join + coalesce upsert — customer balances updated from
+    order totals where present."""
+    from uncp_spark.operators.upsert import upsert_columns
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("balance")
+    )
+    updates = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("balance"))
+    )
+    return upsert_columns(cust, updates, ["c_custkey"], ["balance"])
+
+
+def q_tpch_q1_agg(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    agg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+             F.count("*").alias("n_orders"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+    return agg.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 20)
+
+
+def q_text_quality(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_token_stats_by_lang(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select("lang", token_count(F.col("text")).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
+def q_media_metadata(spark, sf_dir):
+    """Multimodal plumbing: documents text as binary payloads."""
+    from uncp_spark.functions.multimodal import media_metadata
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    return media_metadata(media)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=4)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine_r"), "rank"
+    )
+
+
+# ----- fuzzy-tier queries: rows-only checks (no SQL oracle possible) -----
+
+def q_minhash_signatures(spark, sf_dir):
+    sigs = _sigs(_files(spark, sf_dir))
+    return sigs.select("file_id", "n_shingles", "simhash",
+                       F.element_at("minhash", 1).alias("minhash_0"))
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    sigs = _sigs(_files(spark, sf_dir))
+    pairs, _ = candidate_pairs(sigs, CFG)
+    return score_pairs(pairs, sigs, CFG).select(
+        "src", "dst", F.round("est_jaccard", 4).alias("est_jaccard_r"),
+        "hamming", F.round("containment", 4).alias("containment_r"),
+    )
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    labeled = _near_dup_labeled(spark, sf_dir)
+    return labeled.select("file_id", "repo", "path", "cluster_id")
+
+
+def q_near_dup_priority(spark, sf_dir):
+    labeled = _near_dup_labeled(spark, sf_dir)
+    return priority_ranked(cluster_stats(labeled))
+
+
+def q_substring_containment(spark, sf_dir):
+    files = _files(spark, sf_dir)
+    sigs = _sigs(files)
+    pairs, _ = candidate_pairs(sigs, CFG)
+    return substring_containment(pairs, sigs)
+
+
+def q_language_id(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"),
+                       fingerprint64(F.col("text")).alias("fingerprint"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # exact tier + relations (oracle-checked)
+        "sha256_invariant": q_sha256_invariant,
+        "exact_dup_clusters": q_exact_dup_clusters,
+        "same_size_groups": q_same_size_groups,
+        "same_name_groups": q_same_name_groups,
+        "exact_cluster_priority": q_exact_cluster_priority,
+        "files_by_lang": q_files_by_lang,
+        "path_predicates": q_path_predicates,
+        # generic operator idioms (oracle-checked)
+        "dedup_keep_last": q_dedup_keep_last,
+        "upsert_coalesce": q_upsert_coalesce,
+        "tpch_q1_agg": q_tpch_q1_agg,
+        "top_customers": q_top_customers,
+        # training-pipeline functions (oracle-checked)
+        "text_quality": q_text_quality,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "media_metadata": q_media_metadata,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        # fuzzy tier (rows-only)
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_priority": q_near_dup_priority,
+        "substring_containment": q_substring_containment,
+        "language_id": q_language_id,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_REPOS = f"WITH repos AS ({REPOS_FROM_DOCUMENTS_DUCKDB})"
+
+_FILES = f"""{_REPOS},
+files AS (
+  SELECT repo, path, lang, content,
+         sha256(content) AS sha256,
+         strlen(content)::BIGINT AS size,
+         len(string_split(path, '/'))::INT AS depth,
+         regexp_extract(path, '([^/]*)$', 1) AS filename,
+         lower(regexp_extract(path, '([^.]*)$', 1)) AS ext
+  FROM repos
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "sha256_invariant": f"""
+            {_FILES}
+            SELECT repo, path, sha256, size AS n_bytes FROM files
+        """,
+        "exact_dup_clusters": f"""
+            {_FILES}
+            SELECT sha256 AS hash_value,
+                   array_to_string(list_sort(list(path)), ',') AS members,
+                   count(*) AS file_count,
+                   sum(size) AS total_size
+            FROM files GROUP BY sha256 HAVING count(*) >= 2
+        """,
+        "same_size_groups": f"""
+            {_FILES}
+            SELECT size AS size_bytes,
+                   array_to_string(list_sort(list(path)), ',') AS members,
+                   count(*) AS file_count
+            FROM files GROUP BY size HAVING count(*) >= 2
+        """,
+        "same_name_groups": f"""
+            {_FILES}
+            SELECT filename AS filename_key, count(*) AS file_count,
+                   sum(size) AS total_size
+            FROM files GROUP BY filename HAVING count(*) >= 3
+        """,
+        "exact_cluster_priority": f"""
+            {_FILES},
+            stats AS (
+              SELECT sha256 AS cluster_key, count(*) AS dup_count,
+                     sum(size) - max(size) AS bytes_reclaimable,
+                     min(depth) AS min_depth
+              FROM files GROUP BY sha256 HAVING count(*) >= 2
+            )
+            SELECT cluster_key, dup_count, bytes_reclaimable, min_depth,
+                   row_number() OVER (
+                     ORDER BY bytes_reclaimable DESC, dup_count DESC,
+                              min_depth ASC, cluster_key ASC
+                   )::INT AS priority_rank
+            FROM stats
+        """,
+        "files_by_lang": f"""
+            {_FILES}
+            SELECT lang, count(*) AS n_files, sum(size) AS total_bytes
+            FROM files GROUP BY lang
+        """,
+        "path_predicates": f"""
+            {_FILES}
+            SELECT ext, count(*) AS n_files
+            FROM files
+            WHERE path LIKE 'docs/%' AND ext = 'txt'
+              AND size BETWEEN 50 AND 100000
+              AND filename LIKE '%doc\\_%' ESCAPE '\\'
+            GROUP BY ext
+        """,
+        "dedup_keep_last": """
+            SELECT user_id, event_id, event_type, round(value, 4) AS value_r
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+              ) AS rn FROM events
+            ) WHERE rn = 1
+        """,
+        "upsert_coalesce": """
+            WITH updates AS (
+              SELECT o_custkey AS c_custkey,
+                     round(sum(o_totalprice), 2) AS u_balance
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT c.c_custkey,
+                   coalesce(u.u_balance, round(c.c_acctbal, 2)) AS balance
+            FROM customer c LEFT JOIN updates u USING (c_custkey)
+        """,
+        "tpch_q1_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            WITH agg AS (
+              SELECT c.c_custkey, c.c_name,
+                     round(sum(o.o_totalprice), 2) AS total_spent,
+                     count(*) AS n_orders
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_custkey, c.c_name
+            )
+            SELECT *, row_number() OVER (
+              ORDER BY total_spent DESC, c_custkey ASC
+            )::INT AS rnk
+            FROM agg QUALIFY rnk <= 20
+        """,
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     CASE WHEN strlen(norm) = 0 THEN 0
+                          ELSE len(string_split(norm, ' ')) END AS n_tokens,
+                     length(text)::DOUBLE AS n_chars,
+                     strlen(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                       AS alpha_chars
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   round((
+                     alpha_chars / greatest(n_chars, 1.0)
+                     + (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+                     + (CASE WHEN n_chars / greatest(n_tokens, 1) BETWEEN 2.0 AND 12.0
+                             THEN 1.0 ELSE 0.0 END)
+                   ) / 3.0, 6) AS quality
+            FROM m
+        """,
+        "token_stats_by_lang": """
+            WITH t AS (
+              SELECT lang,
+                     CASE WHEN strlen(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+                          THEN 0
+                          ELSE len(string_split(
+                                 trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                     END AS n_tokens
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_tokens), 4) AS avg_tokens,
+                   sum(n_tokens) AS sum_tokens
+            FROM t GROUP BY lang
+        """,
+        "media_metadata": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text))::BIGINT AS byte_len,
+                   'application/octet-stream' AS media_type,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cos6
+              FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, round(cos6, 4) AS cosine_r,
+                   row_number() OVER (
+                     PARTITION BY query_id ORDER BY cos6 DESC, vec_id ASC
+                   )::INT AS rank
+            FROM scored QUALIFY rank <= 4
+        """,
+    }

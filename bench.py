@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline dedup pipeline + operator
+queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], printing ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "files_per_sec": ...}
+
+The dedup corpus is derived deterministically from the driver's
+``documents`` table, amplified ×BENCH_AMPLIFY (default 8) with planted
+exact duplicates and near-duplicate variants, so MinHash-LSH throughput
+is measured on a corpus with realistic dup structure.
+
+Scaling evidence (north_rule: ≥0.8 efficiency N→4N executors, measured
+here as local[8] vs local[32]): scripts/run_scaling.py runs this file
+twice in fresh JVMs and writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from uncp_spark.config import SimilarityConfig
+from uncp_spark.operators.components import connected_components, label_all
+from uncp_spark.operators.exact import (
+    exact_cluster_edges,
+    exact_clusters,
+    exact_representatives,
+)
+from uncp_spark.operators.ingest import ingest
+from uncp_spark.operators.lsh import candidate_pairs
+from uncp_spark.operators.priority import cluster_stats, priority_ranked
+from uncp_spark.operators.shingle import with_shingles
+from uncp_spark.operators.signatures import with_signatures
+from uncp_spark.operators.verify import accept_edges, score_pairs
+from uncp_spark.session import get_spark
+
+CFG = SimilarityConfig()
+
+
+def bench_corpus(spark, sf_dir: str, amplify: int):
+    """documents × amplify variants. variant 0 = original, variant 1 =
+    exact copy under another path, variants ≥2 = near-dup forks with a
+    variant-specific token tail. Pure column expressions → deterministic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    variants = spark.range(amplify).select(F.col("id").alias("variant"))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        docs.crossJoin(F.broadcast(variants))
+        .repartition(n_part)
+        .select(
+            F.concat(F.lit("org"), (F.col("doc_id") % 7).cast("string"),
+                     F.lit("/"), F.col("source")).alias("repo"),
+            F.concat(F.lit("docs/v"), F.col("variant").cast("string"),
+                     F.lit("/doc_"), F.col("doc_id").cast("string"),
+                     F.lit(".txt")).alias("path"),
+            F.lit("deadbeef").alias("commit"),
+            F.col("lang"),
+            F.when(F.col("variant") <= 1, F.col("text"))
+            .otherwise(
+                F.concat(F.col("text"), F.lit(" variant tail token "),
+                         F.col("variant").cast("string"))
+            ).alias("content"),
+        )
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    amplify = int(os.environ.get("BENCH_AMPLIFY", "8"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark(cpus, app_name="uncp_spark_bench")
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    repos = bench_corpus(spark, sf_dir, amplify)
+
+    # --- dedup pipeline, stage by stage (persist barriers = honest timing)
+    files = timed("ingest", lambda: ingest(repos).persist())
+    n_files = files.count()
+
+    ec = timed("exact_tier", lambda: exact_clusters(files).persist())
+    ec.count()
+
+    def build_sigs():
+        reps = exact_representatives(files)
+        s = with_signatures(with_shingles(reps, CFG), CFG).select(
+            "file_id", "repo", "path", "lang", "size", "depth",
+            "minhash", "simhash", "shingles", "n_shingles",
+        ).persist()
+        s.count()
+        return s
+
+    sigs = timed("signatures", build_sigs)
+
+    def build_pairs():
+        p, _hot = candidate_pairs(sigs, CFG)
+        p = p.persist()
+        p.count()
+        return p
+
+    pairs = timed("lsh_pairs", build_pairs)
+
+    def build_edges():
+        e = accept_edges(score_pairs(pairs, sigs, CFG), CFG).select("src", "dst")
+        e = e.unionByName(exact_cluster_edges(files).select("src", "dst")).persist()
+        e.count()
+        return e
+
+    edges = timed("verify_edges", build_edges)
+
+    labels = timed("connected_components",
+                   lambda: connected_components(edges).persist())
+    labels.count()
+
+    def build_priority():
+        out = priority_ranked(cluster_stats(label_all(files, labels))).persist()
+        out.count()
+        return out
+
+    clusters = timed("priority", build_priority)
+    n_clusters = clusters.count()
+
+    pipeline_sec = sum(
+        timings[k] for k in ["ingest", "exact_tier", "signatures", "lsh_pairs",
+                             "verify_edges", "connected_components", "priority"]
+    )
+
+    # --- auxiliary operator queries on driver tables
+    docs_path = f"{sf_dir}/documents.parquet"
+
+    def q_text():
+        from uncp_spark.functions.text import quality_score, token_count
+        d = spark.read.parquet(docs_path)
+        d.select(token_count(F.col("text")).alias("t"),
+                 quality_score(F.col("text")).alias("q")).agg(
+            F.sum("t"), F.avg("q")).collect()
+
+    timed("text_metrics", q_text)
+
+    def q_tpch():
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum("l_quantity"), F.count("*")).collect())
+
+    timed("tpch_q1", q_tpch)
+
+    def q_ann():
+        from uncp_spark.functions.similarity_search import ann_topk
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dim = len(emb.select("embedding").first()[0])
+        ann_topk(emb, k=5, dim=dim, bits=10, tables=4).count()
+
+    timed("ann_topk", q_ann)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "dedup_pipeline_e2e",
+        "value": pipeline_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "total_sec": total,
+        "n_files": n_files,
+        "n_clusters": n_clusters,
+        "files_per_sec": round(n_files / pipeline_sec, 1) if pipeline_sec else None,
+        "cores": cpus,
+        "amplify": amplify,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,3 +51,21 @@ def test_signature_length_and_range(spark, cfg, repos_df):
         | F.exists("minhash", lambda v: (v < 0) | (v > cfg.prime))
     )
     assert bad.count() == 0
+
+
+def test_fused_signatures_match_separate(spark, cfg, repos_df):
+    """with_signatures (one UDF pass) must be bit-identical to
+    with_minhash + with_simhash."""
+    from uncp_spark.operators.signatures import with_signatures
+
+    files = spark.createDataFrame(
+        [(i, f"text body {' '.join(f'w{j}' for j in range(i + 3))}")
+         for i in range(20)],
+        "file_id long, content string",
+    )
+    sh = with_shingles(files, cfg)
+    fused = {r["file_id"]: (r["minhash"], r["simhash"])
+             for r in with_signatures(sh, cfg).collect()}
+    sep = {r["file_id"]: (r["minhash"], r["simhash"])
+           for r in with_simhash(with_minhash(sh, cfg)).collect()}
+    assert fused == sep

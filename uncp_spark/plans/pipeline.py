@@ -35,10 +35,9 @@ from uncp_spark.operators.components import connected_components, label_all
 from uncp_spark.operators.exact import exact_cluster_edges, exact_representatives
 from uncp_spark.operators.ingest import ingest
 from uncp_spark.operators.lsh import candidate_pairs
-from uncp_spark.operators.minhash import with_minhash
+from uncp_spark.operators.signatures import with_signatures
 from uncp_spark.operators.priority import cluster_stats, priority_ranked, register_views, elect_canonical
 from uncp_spark.operators.shingle import with_shingles
-from uncp_spark.operators.simhash import with_simhash
 from uncp_spark.operators.verify import accept_edges, score_pairs
 from uncp_spark.sources import checkpoint as ckpt
 
@@ -96,10 +95,7 @@ class DedupPipeline:
 
         def build_sigs() -> DataFrame:
             reps = exact_representatives(files)
-            return (
-                with_simhash(with_minhash(with_shingles(reps, cfg), cfg))
-                .select(*SIG_COLS)
-            )
+            return with_signatures(with_shingles(reps, cfg), cfg).select(*SIG_COLS)
 
         sigs, tok_sigs = self._run_stage(spark, "sigs", tok, build_sigs, results, resume)
 
