@@ -45,13 +45,19 @@ from uncp_spark.session import get_spark
 CFG = SimilarityConfig()
 
 
-def bench_corpus(spark, sf_dir: str, amplify: int):
+def bench_corpus(spark, sf_dir: str, amplify: int, content_repeat: int = 1):
     """documents × amplify variants. variant 0 = original, variant 1 =
     exact copy under another path, variants ≥2 = near-dup forks with a
-    variant-specific token tail. Pure column expressions → deterministic."""
+    variant-specific token tail. ``content_repeat`` concatenates the text
+    k times so per-file work approximates real source files (the driver
+    docs average ~300 chars). Pure column expressions → deterministic."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
+    if content_repeat > 1:
+        docs = docs.withColumn(
+            "text", F.concat_ws(" ", *([F.col("text")] * content_repeat))
+        )
     variants = spark.range(amplify).select(F.col("id").alias("variant"))
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return (
@@ -78,6 +84,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     amplify = int(os.environ.get("BENCH_AMPLIFY", "8"))
+    content_repeat = int(os.environ.get("BENCH_CONTENT_REPEAT", "1"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     spark = get_spark(cpus, app_name="uncp_spark_bench")
@@ -89,7 +96,7 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         return out
 
-    repos = bench_corpus(spark, sf_dir, amplify)
+    repos = bench_corpus(spark, sf_dir, amplify, content_repeat)
 
     # --- dedup pipeline, stage by stage (persist barriers = honest timing)
     files = timed("ingest", lambda: ingest(repos).persist())
@@ -183,6 +190,7 @@ def main() -> None:
         "files_per_sec": round(n_files / pipeline_sec, 1) if pipeline_sec else None,
         "cores": cpus,
         "amplify": amplify,
+        "content_repeat": content_repeat,
     }
     spark.stop()
     print(json.dumps(result))

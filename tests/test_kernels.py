@@ -136,3 +136,41 @@ def test_suffix_index_contains_oracle():
         assert idx.contains(probe) == (probe in text)
     assert idx.contains("")
     assert not idx.contains(text + "!")
+
+
+def test_simhash_matches_slow_reference():
+    """Optimized unpackbits kernel vs a direct per-row reference."""
+    rng = random.Random(99)
+    sets = [_rand_set(rng, rng.randint(1, 200)) for _ in range(30)]
+    sets.append(np.empty(0, np.int64))
+    fast = simhash_batch(sets)
+    for i, s in enumerate(sets):
+        if len(s) == 0:
+            assert fast[i] == 0
+            continue
+        u = s.astype(np.int64).view(np.uint64)
+        acc = np.zeros(64, dtype=np.int64)
+        for h in u:
+            for k in range(64):
+                acc[k] += 1 if (int(h) >> k) & 1 else -1
+        expect = 0
+        for k in range(64):
+            if acc[k] > 0:
+                expect |= 1 << k
+        expect = np.uint64(expect).astype(np.int64) if expect < 2**63 else np.int64(expect - 2**64)
+        assert fast[i] == expect, i
+
+
+def test_minhash_mersenne_reduction_matches_modulo():
+    """The shift-add Mersenne reduction must equal (a*h+b) % p exactly."""
+    a, b = minhash_params(CFG)
+    rng = random.Random(101)
+    s = _rand_set(rng, 500)
+    sig = minhash_batch([s], a, b, CFG.prime)[0]
+    h = np.mod(s.astype(np.int64), np.int64(CFG.prime)).astype(np.uint64)
+    ref = np.array(
+        [int(((a[i].astype(object) * h.astype(object) + int(b[i])) % CFG.prime).min())
+         for i in range(CFG.num_perm)],
+        dtype=np.int64,
+    )
+    assert np.array_equal(sig, ref)

@@ -34,11 +34,13 @@ def normalize_content(col: Column, cfg: SimilarityConfig) -> Column:
     return out
 
 
-def _token_shingle_hashes(tokens: Column, k: int) -> Column:
-    # one k-token window per start offset; xxhash64 per window
+def _token_shingle_hashes(token_hashes: Column, k: int) -> Column:
+    # one k-token window per start offset; the shingle id is xxhash64 of
+    # the k token hashes — no k-token string is ever materialized
+    # (hashing 5 longs beats building + hashing a ~30-char string)
     return F.transform(
-        F.sequence(F.lit(1), F.size(tokens) - (k - 1)),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, k))),
+        F.sequence(F.lit(1), F.size(token_hashes) - (k - 1)),
+        lambda i: F.xxhash64(F.slice(token_hashes, i, k)),
     )
 
 
@@ -59,14 +61,14 @@ def with_shingles(
     norm = normalize_content(F.col(content_col), cfg)
     df = df.withColumn("norm_text", norm)
     tokens = F.split(F.col("norm_text"), " ")
-    token_shingles = _token_shingle_hashes(tokens, cfg.shingle_k)
+    df = df.withColumn("token_hashes", F.transform(tokens, lambda t: F.xxhash64(t)))
+    token_shingles = _token_shingle_hashes(F.col("token_hashes"), cfg.shingle_k)
     char_shingles = _char_shingle_hashes(F.col("norm_text"), cfg.char_shingle_k)
     return (
-        df.withColumn("token_hashes", F.transform(tokens, lambda t: F.xxhash64(t)))
-        .withColumn(
+        df.withColumn(
             "shingles",
             F.array_distinct(
-                F.when(F.size(tokens) >= cfg.shingle_k, token_shingles)
+                F.when(F.size("token_hashes") >= cfg.shingle_k, token_shingles)
                 .otherwise(char_shingles)
             ),
         )

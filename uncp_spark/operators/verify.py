@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from uncp_spark.config import SimilarityConfig
 
@@ -31,32 +32,64 @@ def score_pairs(
     pairs: DataFrame, sigs: DataFrame, cfg: SimilarityConfig
 ) -> DataFrame:
     """pairs(src, dst) × sigs(file_id, minhash, simhash, shingles) →
-    scored pairs."""
-    a = sigs.select(
+    scored pairs.
+
+    Two-phase to keep the shuffle thin: phase 1 joins only the fixed-
+    width signatures (minhash ~1 KB + simhash 8 B per side) and decides
+    est_jaccard / hamming. The variable-width shingle arrays — the
+    dominant shuffle payload — join only for pairs NOT already accepted
+    by phase 1 (containment can only *add* acceptances, so the accepted
+    edge set is identical to a single-phase evaluation; phase-1 winners
+    report containment = NULL, meaning 'not evaluated')."""
+    mh = sigs.select("file_id", "minhash", "simhash")
+    a = mh.select(
         F.col("file_id").alias("src"),
         F.col("minhash").alias("mh_a"),
         F.col("simhash").alias("sh_a"),
-        F.col("shingles").alias("sg_a"),
     )
-    b = sigs.select(
+    b = mh.select(
         F.col("file_id").alias("dst"),
         F.col("minhash").alias("mh_b"),
         F.col("simhash").alias("sh_b"),
-        F.col("shingles").alias("sg_b"),
     )
     eq = F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int"))
     est_j = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / F.lit(cfg.num_perm)
-    inter = F.size(F.array_intersect("sg_a", "sg_b")).cast("double")
-    containment = inter / F.least(F.size("sg_a"), F.size("sg_b")).cast("double")
 
-    return (
+    phase1 = (
         pairs.join(a, "src")
         .join(b, "dst")
         .withColumn("est_jaccard", est_j)
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .withColumn("containment", containment)
-        .select("src", "dst", "from_hot_band", "est_jaccard", "hamming", "containment")
+        .select("src", "dst", "from_hot_band", "est_jaccard", "hamming")
     )
+    # both output branches scan phase1; persist so the 128-wide signature
+    # comparison runs once (narrow 5-column cache, spills to disk if big)
+    phase1 = phase1.persist(StorageLevel.MEMORY_AND_DISK)
+
+    sg = sigs.select("file_id", "shingles")
+    sa = sg.select(F.col("file_id").alias("src"), F.col("shingles").alias("sg_a"))
+    sb = sg.select(F.col("file_id").alias("dst"), F.col("shingles").alias("sg_b"))
+    inter = F.size(F.array_intersect("sg_a", "sg_b")).cast("double")
+    containment = (
+        inter / F.least(F.size("sg_a"), F.size("sg_b")).cast("double")
+    ).alias("containment")
+
+    accepted1 = (F.col("est_jaccard") >= cfg.jaccard_threshold) | (
+        F.col("hamming") <= cfg.hamming_threshold
+    )
+    residual = (
+        phase1.filter(~accepted1)
+        .join(sa, "src")
+        .join(sb, "dst")
+        .select("src", "dst", "from_hot_band", "est_jaccard", "hamming", containment)
+    )
+    # phase-1 winners are accepted regardless of containment; NULL marks
+    # "not evaluated" and keeps the shingle arrays out of their shuffle
+    winners = phase1.filter(accepted1).select(
+        "src", "dst", "from_hot_band", "est_jaccard", "hamming",
+        F.lit(None).cast("double").alias("containment"),
+    )
+    return winners.unionByName(residual)
 
 
 def accept_edges(scored: DataFrame, cfg: SimilarityConfig) -> DataFrame:

@@ -25,6 +25,13 @@ def get_spark(
     ``cores``: int N → local[N]; "*" → local[*]; None → $SPARK_GRAFT_CPUS
     or all cores.
     """
+    # glibc tuning inherited by the forked Python UDF workers: keep large
+    # numpy temporaries in the heap instead of mmap/munmap per batch —
+    # this VM's first-touch page-fault path is extremely slow, so
+    # re-faulting the kernel work buffers every batch dominates UDF time
+    # (measured: 25 s first touch vs 0.05 s steady state per batch).
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = f"local[{cores}]"
