@@ -247,6 +247,72 @@ def q_media_metadata(spark, sf_dir):
     return media_metadata(media)
 
 
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Brute-force token-set (1-gram) Jaccard near-dup pairs on
+    documents — the exact-Jaccard baseline the LSH tier approximates.
+    O(n²) scoring: correctness oracle only; the scale path is LSH."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+        ).alias("toks"),
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = (F.size("ta") + F.size("tb")).cast("double") - inter
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def q_embedding_cosine_pairs(spark, sf_dir):
+    """Brute-force embedding-cosine near-dup pairs (exact baseline; the
+    scale path is multi-table RP-LSH in functions/similarity_search)."""
+    from uncp_spark.functions.similarity_search import cosine_similarity_col
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_similarity_col(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def q_same_name_unique_content(spark, sf_dir):
+    """J4: duplicates in one dimension (filename), unique in another
+    (content hash) — uncp DESIGN.md:283-288."""
+    from uncp_spark.operators.relations import dup_in_one_dim_unique_in_other
+
+    files = _files(spark, sf_dir)
+    return dup_in_one_dim_unique_in_other(files, "filename", "sha256").select(
+        "repo", "path", "filename"
+    )
+
+
+def q_groups_containing_file(spark, sf_dir):
+    """J4 point probe: all same-name groups containing a given path."""
+    from uncp_spark.operators.relations import groups_containing
+
+    groups = same_name_groups(_files(spark, sf_dir))
+    return groups_containing(groups, "docs/doc_0.txt").select(
+        "filename_key",
+        F.array_join("file_paths", ",").alias("members"),
+        "file_count",
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
@@ -320,6 +386,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_by_lang": q_token_stats_by_lang,
         "media_metadata": q_media_metadata,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "same_name_unique_content": q_same_name_unique_content,
+        "groups_containing_file": q_groups_containing_file,
         # fuzzy tier (rows-only)
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -486,6 +556,47 @@ def oracle_sql() -> dict[str, str]:
                    'application/octet-stream' AS media_type,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_distinct(string_split(
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '
+                     )) AS t
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(
+                     len(list_intersect(a.t, b.t))::DOUBLE /
+                     (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))::DOUBLE,
+                   4) AS jaccard
+            FROM toks a CROSS JOIN toks b
+            WHERE a.doc_id < b.doc_id AND jaccard >= 0.8
+        """,
+        "embedding_cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                     a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings a CROSS JOIN embeddings b
+            WHERE a.vec_id < b.vec_id AND cosine >= 0.35
+        """,
+        "same_name_unique_content": f"""
+            {_FILES}
+            SELECT repo, path, filename FROM (
+              SELECT repo, path, filename,
+                     count(*) OVER (PARTITION BY filename) AS n_dup,
+                     count(*) OVER (PARTITION BY sha256) AS n_uni
+              FROM files
+            ) WHERE n_dup >= 2 AND n_uni = 1
+        """,
+        "groups_containing_file": f"""
+            {_FILES}
+            SELECT filename AS filename_key,
+                   array_to_string(list_sort(list(path)), ',') AS members,
+                   count(*) AS file_count
+            FROM files GROUP BY filename
+            HAVING count(*) >= 2
+               AND list_contains(list(path), 'docs/doc_0.txt')
         """,
         "ann_cosine_topk": """
             WITH q AS (

@@ -42,7 +42,9 @@ def cluster_stats(labeled_files: DataFrame, min_count: int = 2) -> DataFrame:
 
 def priority_ranked(clusters: DataFrame) -> DataFrame:
     """Ranked dedup candidates — bytes reclaimable first, then dup count,
-    then shallowest path."""
+    then shallowest path. ``metadata`` carries the score inputs as a JSON
+    blob (uncp's group metadata field, src/relations.rs:415 / F9) and
+    ``reclaimable_human`` the B/KB/MB rendering (tui df_render F10)."""
     order = [
         F.desc("bytes_reclaimable"),
         F.desc("dup_count"),
@@ -50,7 +52,25 @@ def priority_ranked(clusters: DataFrame) -> DataFrame:
         F.asc("cluster_id"),
     ]
     w = Window.orderBy(*order)
-    return clusters.withColumn("priority_rank", F.row_number().over(w))
+    return (
+        clusters.withColumn("priority_rank", F.row_number().over(w))
+        .withColumn(
+            "metadata",
+            F.to_json(F.struct("dup_count", "bytes_reclaimable", "min_depth", "n_repos")),
+        )
+        .withColumn("reclaimable_human", format_bytes(F.col("bytes_reclaimable")))
+    )
+
+
+def format_bytes(col) -> "F.Column":
+    """Human-readable byte size (tui/src/df_render.rs:18-31 parity)."""
+    return (
+        F.when(col >= 1024**4, F.concat(F.round(col / 1024**4, 2).cast("string"), F.lit(" TB")))
+        .when(col >= 1024**3, F.concat(F.round(col / 1024**3, 2).cast("string"), F.lit(" GB")))
+        .when(col >= 1024**2, F.concat(F.round(col / 1024**2, 2).cast("string"), F.lit(" MB")))
+        .when(col >= 1024, F.concat(F.round(col / 1024, 2).cast("string"), F.lit(" KB")))
+        .otherwise(F.concat(col.cast("string"), F.lit(" B")))
+    )
 
 
 def elect_canonical(labeled_files: DataFrame) -> DataFrame:
