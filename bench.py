@@ -40,7 +40,7 @@ from uncp_spark.operators.priority import cluster_stats, priority_ranked
 from uncp_spark.operators.shingle import with_shingles
 from uncp_spark.operators.signatures import with_signatures
 from uncp_spark.operators.verify import accept_edges, score_pairs
-from uncp_spark.session import get_spark
+from uncp_spark.session import get_spark, warm_python_workers
 
 CFG = SimilarityConfig()
 
@@ -88,6 +88,9 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     spark = get_spark(cpus, app_name="uncp_spark_bench")
+    t_warm = time.monotonic()
+    warm_python_workers(spark)
+    warmup_sec = round(time.monotonic() - t_warm, 3)
     timings: dict[str, float] = {}
 
     def timed(name, fn):
@@ -191,6 +194,7 @@ def main() -> None:
         "cores": cpus,
         "amplify": amplify,
         "content_repeat": content_repeat,
+        "worker_warmup_sec": warmup_sec,
     }
     spark.stop()
     print(json.dumps(result))

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import SparkSession
 
 
@@ -63,3 +64,32 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, n: int | None = None) -> None:
+    """Spin up (and keep, via spark.python.worker.reuse) one Python UDF
+    worker per core with numpy/pandas imported and kernel buffers
+    first-touched. On this sandbox VM, per-worker warmup (imports +
+    page-zeroing of fresh buffers) costs seconds and lands in whatever
+    UDF stage runs first; a long-lived cluster pays it once per executor
+    lifetime, so benchmarks warm explicitly to measure steady state."""
+    from pyspark.sql import functions as F, types as T
+
+    if n is None:
+        master = spark.sparkContext.master
+        n = int(master.split("[")[1].rstrip("]")) if "[" in master and "*" not in master \
+            else (os.cpu_count() or 8)
+
+    @F.pandas_udf(T.LongType())
+    def _touch(x: pd.Series) -> pd.Series:
+        import numpy as np
+
+        buf = np.zeros(4_000_000, dtype=np.uint64)  # first-touch ~32 MB
+        buf[:] = np.uint64(1)
+        return x * 0 + int(buf[0])
+
+    (
+        spark.range(n * 4, numPartitions=n * 4)
+        .select(_touch(F.col("id")))
+        .write.mode("overwrite").format("noop").save()
+    )
