@@ -53,7 +53,9 @@ def _files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sigs(files: DataFrame) -> DataFrame:
-    reps = exact_representatives(files)
+    from uncp_spark.session import compute_repartition
+
+    reps = compute_repartition(exact_representatives(files))
     return with_signatures(with_shingles(reps, CFG), CFG).select(
         "file_id", "repo", "path", "lang", "size", "depth",
         "minhash", "simhash", "shingles", "n_shingles", "norm_text",

@@ -40,17 +40,25 @@ from uncp_spark.operators.priority import cluster_stats, priority_ranked
 from uncp_spark.operators.shingle import with_shingles
 from uncp_spark.operators.signatures import with_signatures
 from uncp_spark.operators.verify import accept_edges, score_pairs
-from uncp_spark.session import get_spark, warm_python_workers
+from uncp_spark.session import compute_repartition, get_spark, warm_python_workers
 
 CFG = SimilarityConfig()
 
 
-def bench_corpus(spark, sf_dir: str, amplify: int, content_repeat: int = 1):
-    """documents × amplify variants. variant 0 = original, variant 1 =
-    exact copy under another path, variants ≥2 = near-dup forks with a
-    variant-specific token tail. ``content_repeat`` concatenates the text
-    k times so per-file work approximates real source files (the driver
-    docs average ~300 chars). Pure column expressions → deterministic."""
+def bench_corpus(spark, sf_dir: str, amplify: int, content_repeat: int = 1,
+                 group_size: int = 4):
+    """documents × amplify variants with BOUNDED duplicate-group sizes.
+
+    Variants are split into families of ``group_size``: within a family,
+    member 0 is the base, member 1 an exact copy, the rest near-dup
+    forks (small token tail). Different families of the same doc get a
+    long family-specific token block that pushes cross-family Jaccard
+    below LSH reach — so dup-group size stays ~group_size no matter how
+    large ``amplify`` is (a 10^12-file corpus has bounded dup
+    multiplicity per cluster, not 100-member cliques; pair volume must
+    scale linearly with amplification). ``content_repeat`` concatenates
+    the base text k times so per-file work approximates real source
+    files. Pure column expressions → deterministic."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
@@ -60,6 +68,24 @@ def bench_corpus(spark, sf_dir: str, amplify: int, content_repeat: int = 1):
         )
     variants = spark.range(amplify).select(F.col("id").alias("variant"))
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    fam = (F.col("variant") / group_size).cast("long")
+    member = F.col("variant") % group_size
+    # family-specific block, ~2x the base token count, tokens unique per
+    # (doc, family, position) → cross-family/cross-doc Jaccard stays
+    # below LSH reach (full doc_id in the token — a truncated id would
+    # silently re-create giant accidental cliques)
+    n_tail = F.size(F.split(F.col("text"), " ")) * 2
+    fam_block = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), n_tail),
+            lambda i: F.concat(
+                F.lit("f"), fam.cast("string"), F.lit("d"),
+                F.col("doc_id").cast("string"), F.lit("p"), i.cast("string")
+            ),
+        ),
+    )
+    base = F.concat(F.col("text"), F.lit(" "), fam_block)
     return (
         docs.crossJoin(F.broadcast(variants))
         .repartition(n_part)
@@ -71,9 +97,9 @@ def bench_corpus(spark, sf_dir: str, amplify: int, content_repeat: int = 1):
                      F.lit(".txt")).alias("path"),
             F.lit("deadbeef").alias("commit"),
             F.col("lang"),
-            F.when(F.col("variant") <= 1, F.col("text"))
+            F.when(member <= 1, base)
             .otherwise(
-                F.concat(F.col("text"), F.lit(" variant tail token "),
+                F.concat(base, F.lit(" variant tail token "),
                          F.col("variant").cast("string"))
             ).alias("content"),
         )
@@ -109,7 +135,7 @@ def main() -> None:
     ec.count()
 
     def build_sigs():
-        reps = exact_representatives(files)
+        reps = compute_repartition(exact_representatives(files))
         s = with_signatures(with_shingles(reps, CFG), CFG).select(
             "file_id", "repo", "path", "lang", "size", "depth",
             "minhash", "simhash", "shingles", "n_shingles",

@@ -174,3 +174,43 @@ def test_minhash_mersenne_reduction_matches_modulo():
         dtype=np.int64,
     )
     assert np.array_equal(sig, ref)
+
+
+def test_oph_deterministic_and_shapes():
+    from uncp_spark.functions.kernels import oph_minhash_batch
+    a, b = minhash_params(CFG)
+    rng = random.Random(7)
+    s = _rand_set(rng, 300)
+    s1 = oph_minhash_batch([s], a, b, CFG.prime, CFG.num_perm)
+    s2 = oph_minhash_batch([s.copy()], a, b, CFG.prime, CFG.num_perm)
+    assert np.array_equal(s1, s2)
+    assert s1.shape == (1, CFG.num_perm)
+    # no empty sentinel left after densification
+    assert (s1 < CFG.prime * CFG.num_perm).all()
+
+
+def test_oph_batch_matches_single_rows():
+    from uncp_spark.functions.kernels import oph_minhash_batch
+    a, b = minhash_params(CFG)
+    rng = random.Random(5)
+    sets = [_rand_set(rng, rng.randint(1, 400)) for _ in range(9)]
+    sets.insert(3, np.empty(0, np.int64))
+    batched = oph_minhash_batch(sets, a, b, CFG.prime, CFG.num_perm)
+    for i, s in enumerate(sets):
+        single = oph_minhash_batch([s], a, b, CFG.prime, CFG.num_perm)
+        assert np.array_equal(batched[i], single[0]), i
+    assert (batched[3] == CFG.prime * CFG.num_perm).all()  # empty row sentinel
+
+
+def test_oph_estimates_jaccard():
+    from uncp_spark.functions.kernels import oph_minhash_batch
+    a, b = minhash_params(CFG)
+    rng = random.Random(11)
+    base = _rand_set(rng, 400)
+    for frac in (0.5, 0.8, 0.95):
+        keep = int(len(base) * frac)
+        other = np.unique(np.concatenate([base[:keep], _rand_set(rng, len(base) - keep)]))
+        true_j = len(np.intersect1d(base, other)) / len(np.union1d(base, other))
+        sigs = oph_minhash_batch([base, other], a, b, CFG.prime, CFG.num_perm)
+        est = est_jaccard(sigs[0], sigs[1])
+        assert abs(est - true_j) < 0.15, (frac, true_j, est)

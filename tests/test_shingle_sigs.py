@@ -46,9 +46,11 @@ def test_signature_determinism_across_runs(spark, cfg):
 def test_signature_length_and_range(spark, cfg, repos_df):
     files = ingest(repos_df).limit(50)
     sigs = with_minhash(with_shingles(files, cfg), cfg)
+    # OPH densified values are bounded by num_perm * prime (offset coding)
+    max_val = cfg.prime * cfg.num_perm
     bad = sigs.filter(
         (F.size("minhash") != cfg.num_perm)
-        | F.exists("minhash", lambda v: (v < 0) | (v > cfg.prime))
+        | F.exists("minhash", lambda v: (v < 0) | (v > max_val))
     )
     assert bad.count() == 0
 

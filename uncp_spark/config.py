@@ -39,6 +39,13 @@ class SimilarityConfig:
     num_perm: int = 128
     seed: int = 42
     prime: int = MINHASH_PRIME
+    # "oph": one-permutation hashing with rotation densification
+    #        (Li/Owen/Zhang 2012; Shrivastava/Li 2014) — one pass over the
+    #        shingles instead of 128, so signature cost is O(shingles),
+    #        not O(num_perm × shingles). The estimator (fraction of equal
+    #        positions) is unbiased either way; LSH banding is identical.
+    # "perm": the classic (a·x+b) mod p per-permutation construction.
+    minhash_impl: str = "oph"
 
     # --- LSH ---
     bands: int = 32

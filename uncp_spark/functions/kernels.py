@@ -78,6 +78,71 @@ def minhash_batch(
     return out
 
 
+def oph_minhash_batch(
+    shingle_arrays: list[np.ndarray],
+    a: np.ndarray,
+    b: np.ndarray,
+    prime: int,
+    num_perm: int,
+) -> np.ndarray:
+    """One-permutation MinHash with rotation densification.
+
+    Each shingle hash is mixed once ((a0·h + b0) mod p, same family as
+    the classic kernel) and assigned to bucket h mod num_perm; the
+    signature is the per-bucket min, with empty buckets filled from the
+    nearest non-empty bucket to the right (cyclic), offset-encoded so
+    borrowed positions still collide consistently (Shrivastava & Li,
+    ICML 2014). One pass over the shingles — memory traffic is
+    O(shingles), vs O(num_perm × shingles) for the classic kernel, which
+    saturates DRAM bandwidth long before it saturates cores.
+
+    Empty input rows get the sentinel signature [prime·num_perm]* (never
+    collides with real values).
+    """
+    n_rows = len(shingle_arrays)
+    p = np.int64(prime)
+    empty_sentinel = np.int64(prime) * np.int64(num_perm)
+    out = np.full((n_rows, num_perm), empty_sentinel, dtype=np.int64)
+
+    lens = np.fromiter((len(s) for s in shingle_arrays), dtype=np.int64, count=n_rows)
+    nz = np.flatnonzero(lens)
+    if nz.size == 0:
+        return out
+
+    flat = np.concatenate([np.asarray(shingle_arrays[i], dtype=np.int64) for i in nz])
+    h = np.mod(flat, p).astype(np.uint64)
+    # one mixing permutation (a[0], b[0]) — Mersenne reduction as in
+    # minhash_batch
+    x = a[0] * h + b[0]
+    x = (x & np.uint64(prime)) + (x >> np.uint64(31))
+    x = (x & np.uint64(prime)) + (x >> np.uint64(31))
+    x = (x & np.uint64(prime)) + (x >> np.uint64(31))
+    x[x == np.uint64(prime)] = 0
+    vals = x.astype(np.int64)
+    buckets = (h % np.uint64(num_perm)).astype(np.int64)
+
+    # scatter-min into (row, bucket) cells
+    row_idx = np.repeat(np.arange(nz.size, dtype=np.int64), lens[nz])
+    sig = np.full((nz.size, num_perm), empty_sentinel, dtype=np.int64)
+    np.minimum.at(sig, (row_idx, buckets), vals)
+
+    # rotation densification: empty bucket j borrows from bucket j+k
+    # (cyclic, smallest k), value offset by k·p to keep borrowed
+    # positions distinguishable yet consistent across rows
+    empty = sig == empty_sentinel
+    if empty.any():
+        filled = sig.copy()
+        for k in range(1, num_perm):
+            if not empty.any():
+                break
+            donor = np.roll(filled, -k, axis=1)
+            take = empty & (donor != empty_sentinel)
+            sig[take] = donor[take] + k * int(prime)
+            empty &= ~take
+    out[nz] = sig
+    return out
+
+
 def simhash_batch(token_hash_arrays: list[np.ndarray]) -> np.ndarray:
     """64-bit frequency-weighted SimHash per row (Charikar 2002).
 

@@ -21,12 +21,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from uncp_spark.config import SimilarityConfig
-from uncp_spark.functions.kernels import minhash_batch, minhash_params
+from uncp_spark.functions.kernels import minhash_batch, minhash_params, oph_minhash_batch
 
 
 def make_minhash_udf(cfg: SimilarityConfig):
     a, b = minhash_params(cfg)
     prime = cfg.prime
+    num_perm = cfg.num_perm
+    use_oph = cfg.minhash_impl == "oph"
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash_udf(shingles: pd.Series) -> pd.Series:
@@ -34,7 +36,10 @@ def make_minhash_udf(cfg: SimilarityConfig):
             np.asarray(s, dtype=np.int64) if s is not None else np.empty(0, np.int64)
             for s in shingles
         ]
-        sigs = minhash_batch(arrays, a, b, prime)
+        if use_oph:
+            sigs = oph_minhash_batch(arrays, a, b, prime, num_perm)
+        else:
+            sigs = minhash_batch(arrays, a, b, prime)
         return pd.Series(list(sigs))
 
     return minhash_udf

@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from uncp_spark.config import SimilarityConfig
-from uncp_spark.functions.kernels import minhash_batch, minhash_params, simhash_batch
+from uncp_spark.functions.kernels import (
+    minhash_batch,
+    minhash_params,
+    oph_minhash_batch,
+    simhash_batch,
+)
 
 _SIG_TYPE = T.StructType(
     [
@@ -31,6 +36,8 @@ _SIG_TYPE = T.StructType(
 def make_signatures_udf(cfg: SimilarityConfig):
     a, b = minhash_params(cfg)
     prime = cfg.prime
+    num_perm = cfg.num_perm
+    use_oph = cfg.minhash_impl == "oph"
 
     @F.pandas_udf(_SIG_TYPE)
     def signatures_udf(shingles: pd.Series, token_hashes: pd.Series) -> pd.DataFrame:
@@ -42,7 +49,10 @@ def make_signatures_udf(cfg: SimilarityConfig):
             np.asarray(s, dtype=np.int64) if s is not None else np.empty(0, np.int64)
             for s in token_hashes
         ]
-        mh = minhash_batch(sh, a, b, prime)
+        if use_oph:
+            mh = oph_minhash_batch(sh, a, b, prime, num_perm)
+        else:
+            mh = minhash_batch(sh, a, b, prime)
         sim = simhash_batch(th)
         return pd.DataFrame({"minhash": list(mh), "simhash": sim})
 

@@ -39,6 +39,7 @@ from uncp_spark.operators.signatures import with_signatures
 from uncp_spark.operators.priority import cluster_stats, priority_ranked, register_views, elect_canonical
 from uncp_spark.operators.shingle import with_shingles
 from uncp_spark.operators.verify import accept_edges, score_pairs
+from uncp_spark.session import compute_repartition
 from uncp_spark.sources import checkpoint as ckpt
 
 SIG_COLS = ["file_id", "repo", "path", "lang", "size", "depth",
@@ -94,7 +95,7 @@ class DedupPipeline:
         )
 
         def build_sigs() -> DataFrame:
-            reps = exact_representatives(files)
+            reps = compute_repartition(exact_representatives(files))
             return with_signatures(with_shingles(reps, cfg), cfg).select(*SIG_COLS)
 
         sigs, tok_sigs = self._run_stage(spark, "sigs", tok, build_sigs, results, resume)

@@ -50,6 +50,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE sizes post-shuffle partitions by COMPRESSED shuffle bytes;
+        # our stages (signature UDFs, 128-wide est-Jaccard, CC rounds)
+        # cost far more per row than per byte, so let coalescing target
+        # parallelism and small partitions rather than 64 MB chunks
+        # (measured: default settings ran the MinHash stage on 7
+        # partitions of a 32-core session).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Bound Arrow batch size so the numpy MinHash kernel's
         # (num_perm x total_shingles) work matrix stays in-cache.
@@ -64,6 +73,17 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def compute_repartition(df, multiplier: int = 2):
+    """Repartition a DataFrame that feeds a compute-heavy (UDF) stage to
+    cores × multiplier. AQE coalesces shuffles by *compressed shuffle
+    bytes*, which under-parallelizes stages whose per-row cost is much
+    higher than their byte size (measured: the MinHash stage coalesced to
+    7 partitions on a 32-core session — a 4.5× wall-time loss). One cheap
+    extra exchange buys full parallelism for the expensive stage."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism * multiplier)
 
 
 def warm_python_workers(spark: SparkSession, n: int | None = None) -> None:
