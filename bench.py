@@ -126,52 +126,66 @@ def main() -> None:
         return out
 
     repos = bench_corpus(spark, sf_dir, amplify, content_repeat)
+    passes = int(os.environ.get("BENCH_PASSES", "1"))
+    cold_timings: dict[str, float] = {}
 
-    # --- dedup pipeline, stage by stage (persist barriers = honest timing)
-    files = timed("ingest", lambda: ingest(repos).persist())
-    n_files = files.count()
+    # --- dedup pipeline, stage by stage (persist barriers = honest
+    # timing). With BENCH_PASSES=2 the whole stage set runs twice and the
+    # SECOND pass is reported: on this sandbox VM, first-touch page
+    # zeroing is serialized at ~60 MB/s, so cold passes measure the
+    # hypervisor, not the engine; long-lived executors on a real cluster
+    # run warm. Cold numbers are kept in `cold_queries`.
+    for pass_i in range(passes):
+        files = timed("ingest", lambda: ingest(repos).persist())
+        n_files = files.count()
 
-    ec = timed("exact_tier", lambda: exact_clusters(files).persist())
-    ec.count()
+        ec = timed("exact_tier", lambda: exact_clusters(files).persist())
+        ec.count()
 
-    def build_sigs():
-        reps = compute_repartition(exact_representatives(files))
-        s = with_signatures(with_shingles(reps, CFG), CFG).select(
-            "file_id", "repo", "path", "lang", "size", "depth",
-            "minhash", "simhash", "shingles", "n_shingles",
-        ).persist()
-        s.count()
-        return s
+        def build_sigs():
+            reps = compute_repartition(exact_representatives(files))
+            s = with_signatures(with_shingles(reps, CFG), CFG).select(
+                "file_id", "repo", "path", "lang", "size", "depth",
+                "minhash", "simhash", "shingles", "n_shingles",
+            ).persist()
+            s.count()
+            return s
 
-    sigs = timed("signatures", build_sigs)
+        sigs = timed("signatures", build_sigs)
 
-    def build_pairs():
-        p, _hot = candidate_pairs(sigs, CFG)
-        p = p.persist()
-        p.count()
-        return p
+        def build_pairs():
+            p, _hot = candidate_pairs(sigs, CFG)
+            p = p.persist()
+            p.count()
+            return p
 
-    pairs = timed("lsh_pairs", build_pairs)
+        pairs = timed("lsh_pairs", build_pairs)
 
-    def build_edges():
-        e = accept_edges(score_pairs(pairs, sigs, CFG), CFG).select("src", "dst")
-        e = e.unionByName(exact_cluster_edges(files).select("src", "dst")).persist()
-        e.count()
-        return e
+        def build_edges():
+            e = accept_edges(score_pairs(pairs, sigs, CFG), CFG).select("src", "dst")
+            e = e.unionByName(exact_cluster_edges(files).select("src", "dst")).persist()
+            e.count()
+            return e
 
-    edges = timed("verify_edges", build_edges)
+        edges = timed("verify_edges", build_edges)
 
-    labels = timed("connected_components",
-                   lambda: connected_components(edges).persist())
-    labels.count()
+        labels = timed("connected_components",
+                       lambda: connected_components(edges).persist())
+        labels.count()
 
-    def build_priority():
-        out = priority_ranked(cluster_stats(label_all(files, labels))).persist()
-        out.count()
-        return out
+        def build_priority():
+            out = priority_ranked(cluster_stats(label_all(files, labels))).persist()
+            out.count()
+            return out
 
-    clusters = timed("priority", build_priority)
-    n_clusters = clusters.count()
+        clusters = timed("priority", build_priority)
+        n_clusters = clusters.count()
+
+        if pass_i < passes - 1:
+            cold_timings = dict(timings)
+            for df in (files, ec, sigs, pairs, edges, labels, clusters):
+                df.unpersist(blocking=True)
+            spark.catalog.clearCache()
 
     pipeline_sec = sum(
         timings[k] for k in ["ingest", "exact_tier", "signatures", "lsh_pairs",
@@ -221,6 +235,8 @@ def main() -> None:
         "amplify": amplify,
         "content_repeat": content_repeat,
         "worker_warmup_sec": warmup_sec,
+        "passes": passes,
+        "cold_queries": cold_timings or None,
     }
     spark.stop()
     print(json.dumps(result))
