@@ -429,7 +429,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT sha256 AS hash_value,
                    array_to_string(list_sort(list(path)), ',') AS members,
                    count(*) AS file_count,
-                   sum(size) AS total_size
+                   sum(size)::BIGINT AS total_size
             FROM files GROUP BY sha256 HAVING count(*) >= 2
         """,
         "same_size_groups": f"""
@@ -442,14 +442,14 @@ def oracle_sql() -> dict[str, str]:
         "same_name_groups": f"""
             {_FILES}
             SELECT filename AS filename_key, count(*) AS file_count,
-                   sum(size) AS total_size
+                   sum(size)::BIGINT AS total_size
             FROM files GROUP BY filename HAVING count(*) >= 3
         """,
         "exact_cluster_priority": f"""
             {_FILES},
             stats AS (
               SELECT sha256 AS cluster_key, count(*) AS dup_count,
-                     sum(size) - max(size) AS bytes_reclaimable,
+                     (sum(size) - max(size))::BIGINT AS bytes_reclaimable,
                      min(depth) AS min_depth
               FROM files GROUP BY sha256 HAVING count(*) >= 2
             )
@@ -462,7 +462,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "files_by_lang": f"""
             {_FILES}
-            SELECT lang, count(*) AS n_files, sum(size) AS total_bytes
+            SELECT lang, count(*) AS n_files, sum(size)::BIGINT AS total_bytes
             FROM files GROUP BY lang
         """,
         "path_predicates": f"""
@@ -549,15 +549,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, count(*) AS n_docs,
                    round(avg(n_tokens), 4) AS avg_tokens,
-                   sum(n_tokens) AS sum_tokens
+                   sum(n_tokens)::BIGINT AS sum_tokens
             FROM t GROUP BY lang
         """,
         "media_metadata": """
+            WITH h AS (
+              SELECT doc_id, text,
+                     lower(substring(hex(encode(text)), 1, 24)) AS head
+              FROM documents
+            )
             SELECT doc_id AS media_id,
                    octet_length(encode(text))::BIGINT AS byte_len,
-                   'application/octet-stream' AS media_type,
+                   CASE
+                     WHEN starts_with(head, '89504e47') THEN 'image/png'
+                     WHEN starts_with(head, 'ffd8ff') THEN 'image/jpeg'
+                     WHEN starts_with(head, '47494638') THEN 'image/gif'
+                     WHEN starts_with(head, '494433') THEN 'audio/mpeg'
+                     WHEN starts_with(head, 'fff1') THEN 'audio/aac'
+                     WHEN starts_with(head, '1a45dfa3') THEN 'video/webm'
+                     WHEN starts_with(head, '00000018667479706d703432')
+                       THEN 'video/mp4'
+                     ELSE 'application/octet-stream'
+                   END AS media_type,
                    sha256(text) AS sha256
-            FROM documents
+            FROM h
         """,
         "ngram_jaccard_pairs": """
             WITH toks AS (
