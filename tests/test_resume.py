@@ -86,6 +86,35 @@ def test_determinism_two_fresh_runs(spark, repos_df, tmp_path_factory, first_run
     assert _cluster_map(out2) == clusters
 
 
+def test_input_change_same_rowcount_invalidates_downstream(
+    spark, repos_df, tmp_path_factory
+):
+    """ADVICE r1 (high): a changed input corpus with the SAME row count
+    must invalidate every downstream stage — the manifest token chain
+    carries a per-write nonce, so rebuilding 'files' (new input_token)
+    cascades through sigs/pairs/edges/labels/clusters even though the
+    files row count is unchanged."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path_factory.mktemp("ckpt_input_change"))
+    pipe = DedupPipeline(base_dir=base)
+    pipe.run(spark, repos_df, input_token="v1")
+
+    # same schema, same row count, one file's content edited
+    first_path = repos_df.select("path").orderBy("repo", "path").first()[0]
+    repos2 = repos_df.withColumn(
+        "content",
+        F.when(
+            F.col("path") == first_path,
+            F.concat(F.col("content"), F.lit(" corpus edit marker xyzzy")),
+        ).otherwise(F.col("content")),
+    )
+    assert repos2.count() == repos_df.count()
+    out2 = pipe.run(spark, repos2, input_token="v2")
+    flags = {s["stage"]: s["resumed"] for s in out2["report"]["stages"]}
+    assert not any(flags.values()), f"stale resume after input change: {flags}"
+
+
 def test_planted_groups_cocluster(first_run):
     """≥95% of planted dup groups end in one cluster (the stragglers are
     mutations below the pinned thresholds, by design)."""

@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -106,6 +107,10 @@ def write_checkpoint(
         "partition_metrics": per_part,
         "complete": True,
         "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        # per-write nonce: makes manifest_token unique per materialization,
+        # so ANY upstream rebuild (even same row count) invalidates all
+        # downstream checkpoints through the token chain
+        "nonce": uuid.uuid4().hex,
         **(extra or {}),
     }
     tmp = _manifest_path(path) + ".tmp"
@@ -120,7 +125,14 @@ def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
 
 
 def manifest_token(path: str) -> str:
-    """Token identifying a completed checkpoint's content, chained into
-    downstream manifests (lineage)."""
+    """Token identifying a completed checkpoint's *materialization*,
+    chained into downstream manifests (lineage). Includes the stage's own
+    input_token and a per-write nonce so two writes of the same stage —
+    even with identical row counts (e.g. content-only input edits) —
+    yield different tokens, transitively invalidating every downstream
+    checkpoint."""
     m = read_manifest(path) or {}
-    return f"{m.get('stage')}:{m.get('rows')}:{m.get('config_hash')}"
+    return (
+        f"{m.get('stage')}:{m.get('rows')}:{m.get('config_hash')}:"
+        f"{m.get('input_token')}:{m.get('nonce')}"
+    )
