@@ -162,6 +162,22 @@ def q_path_predicates(spark, sf_dir):
     )
 
 
+def q_glob_path_filter(spark, sf_dir):
+    """P6: glob include/exclude path filters (reference PathFilter,
+    detector.rs:92-200) — include must match ≥1, exclude must match none.
+    The DuckDB oracle uses its native GLOB operator (same `*`/`?`/class
+    semantics as globset with literal_separator=false), so the two
+    implementations are independent."""
+    from uncp_spark.functions.globs import path_glob_filter
+
+    files = _files(spark, sf_dir)
+    return path_glob_filter(
+        files,
+        include=["docs/*", "vendored/*"],
+        exclude=["*doc_1*.txt"],
+    ).select("repo", "path")
+
+
 def q_dedup_keep_last(spark, sf_dir):
     """U3 on events: latest event per user (keep-last window idiom)."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -170,6 +186,23 @@ def q_dedup_keep_last(spark, sf_dir):
     )
     return out.select("user_id", "event_id", "event_type",
                       F.round("value", 4).alias("value_r"))
+
+
+def q_event_first_seen(spark, sf_dir):
+    """F7: ns-epoch ↔ timestamp conversions (uncp src/data.rs:241-246;
+    first_seen relation columns src/relations.rs:330,360,386) — per-user
+    first event as timestamp, as i64 ns, and round-tripped ns→timestamp."""
+    from uncp_spark.functions.timefns import ns_to_timestamp, timestamp_to_ns
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    return agg.select(
+        "user_id",
+        "first_ts",
+        timestamp_to_ns(F.col("first_ts")).alias("first_ns"),
+        ns_to_timestamp(timestamp_to_ns(F.col("first_ts")))
+        .cast("timestamp_ntz").alias("first_ts_rt"),
+    )
 
 
 def q_upsert_coalesce(spark, sf_dir):
@@ -292,6 +325,61 @@ def q_embedding_cosine_pairs(spark, sf_dir):
     )
 
 
+def q_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """LSH banding recall vs brute-force shingle Jaccard (J3 oracle).
+
+    Emits every candidate pair whose EXACT 5-token-shingle Jaccard is
+    ≥ 0.75, keyed by content sha256; the DuckDB oracle emits ALL pairs
+    with Jaccard ≥ 0.75 via an O(n²) cross join over distinct contents.
+    The row sets (and so the value hashes) match iff LSH candidate
+    generation has recall 1.0 at J ≥ 0.75 — the banding curve puts the
+    per-pair collision probability at 1-(1-0.75^4)^32 ≈ 0.999995, so
+    this is a deterministic, seed-pinned equality on the driver corpus.
+    Reference anchor: IdenticalHashes pair grouping src/relations.rs:327-339
+    + DESIGN.md:109-117 candidate-pair table."""
+    files = _files(spark, sf_dir)
+    sigs = _sigs(files)
+    cands, _ = candidate_pairs(sigs, CFG)
+    id_sha = files.select("file_id", "sha256")
+    pairs_sha = (
+        cands.join(id_sha.select(F.col("file_id").alias("src"),
+                                 F.col("sha256").alias("sa")), "src")
+        .join(id_sha.select(F.col("file_id").alias("dst"),
+                            F.col("sha256").alias("sb")), "dst")
+        .select(F.least("sa", "sb").alias("sha_a"),
+                F.greatest("sa", "sb").alias("sha_b"))
+        .distinct()
+    )
+    # string 5-gram shingle sets over distinct contents — the same
+    # shingle windows the MinHash kernel hashes, here as plain strings so
+    # DuckDB can build the identical sets
+    norm = F.trim(F.regexp_replace(F.lower(F.col("content")), r"\s+", " "))
+    shing = (
+        files.select("sha256", "content").dropDuplicates(["sha256"])
+        .select("sha256", F.split(norm, " ").alias("t"))
+        .filter(F.size("t") >= 5)
+        .select(
+            "sha256",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 4),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, 5)),
+                )
+            ).alias("s"),
+        )
+    )
+    a = shing.select(F.col("sha256").alias("sha_a"), F.col("s").alias("s_a"))
+    b = shing.select(F.col("sha256").alias("sha_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b")).cast("double")
+    union = (F.size("s_a") + F.size("s_b")).cast("double") - inter
+    return (
+        pairs_sha.join(a, "sha_a").join(b, "sha_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= 0.75)
+        .select("sha_a", "sha_b", "jaccard")
+    )
+
+
 def q_same_name_unique_content(spark, sf_dir):
     """J4: duplicates in one dimension (filename), unique in another
     (content hash) — uncp DESIGN.md:283-288."""
@@ -378,8 +466,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_cluster_priority": q_exact_cluster_priority,
         "files_by_lang": q_files_by_lang,
         "path_predicates": q_path_predicates,
+        "glob_path_filter": q_glob_path_filter,
         # generic operator idioms (oracle-checked)
         "dedup_keep_last": q_dedup_keep_last,
+        "event_first_seen": q_event_first_seen,
         "upsert_coalesce": q_upsert_coalesce,
         "tpch_q1_agg": q_tpch_q1_agg,
         "top_customers": q_top_customers,
@@ -390,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "lsh_recall_vs_bruteforce": q_lsh_recall_vs_bruteforce,
         "same_name_unique_content": q_same_name_unique_content,
         "groups_containing_file": q_groups_containing_file,
         # fuzzy tier (rows-only)
@@ -474,6 +565,12 @@ def oracle_sql() -> dict[str, str]:
               AND filename LIKE '%doc\\_%' ESCAPE '\\'
             GROUP BY ext
         """,
+        "glob_path_filter": f"""
+            {_FILES}
+            SELECT repo, path FROM files
+            WHERE (path GLOB 'docs/*' OR path GLOB 'vendored/*')
+              AND NOT path GLOB '*doc_1*.txt'
+        """,
         "dedup_keep_last": """
             SELECT user_id, event_id, event_type, round(value, 4) AS value_r
             FROM (
@@ -481,6 +578,12 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
               ) AS rn FROM events
             ) WHERE rn = 1
+        """,
+        "event_first_seen": """
+            SELECT user_id, min(ts) AS first_ts,
+                   epoch_us(min(ts)) * 1000 AS first_ns,
+                   make_timestamp(epoch_us(min(ts))) AS first_ts_rt
+            FROM events GROUP BY user_id
         """,
         "upsert_coalesce": """
             WITH updates AS (
@@ -596,6 +699,36 @@ def oracle_sql() -> dict[str, str]:
                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
             FROM embeddings a CROSS JOIN embeddings b
             WHERE a.vec_id < b.vec_id AND cosine >= 0.35
+        """,
+        "lsh_recall_vs_bruteforce": f"""
+            {_REPOS},
+            contents AS (
+              SELECT DISTINCT content FROM repos
+            ),
+            toks AS (
+              SELECT sha256(content) AS sha,
+                     string_split(
+                       trim(regexp_replace(lower(content), '\\s+', ' ', 'g')),
+                       ' ') AS t
+              FROM contents
+            ),
+            sh AS (
+              SELECT sha,
+                     list_distinct(list_transform(
+                       generate_series(1, len(t) - 4),
+                       i -> array_to_string(list_slice(t, i, i + 4), ' ')
+                     )) AS s
+              FROM toks WHERE len(t) >= 5
+            ),
+            scored AS (
+              SELECT a.sha AS sha_a, b.sha AS sha_b,
+                     round(
+                       len(list_intersect(a.s, b.s))::DOUBLE /
+                       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE,
+                     4) AS jaccard
+              FROM sh a JOIN sh b ON a.sha < b.sha
+            )
+            SELECT sha_a, sha_b, jaccard FROM scored WHERE jaccard >= 0.75
         """,
         "same_name_unique_content": f"""
             {_FILES}

@@ -20,7 +20,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 from pyspark.sql import functions as F
@@ -128,6 +130,8 @@ def main() -> None:
     repos = bench_corpus(spark, sf_dir, amplify, content_repeat)
     passes = int(os.environ.get("BENCH_PASSES", "1"))
     cold_timings: dict[str, float] = {}
+    ckpt_dir = tempfile.mkdtemp(prefix="uncp_bench_")
+    sig_path = os.path.join(ckpt_dir, "sigs.parquet")
 
     # --- dedup pipeline, stage by stage (persist barriers = honest
     # timing). With BENCH_PASSES=2 the whole stage set runs twice and the
@@ -143,13 +147,22 @@ def main() -> None:
         ec.count()
 
         def build_sigs():
+            # parquet checkpoint, exactly like DedupPipeline's sigs stage:
+            # one compute + write, then column-PRUNED reads downstream
+            # (the LSH stage reads only file_id+minhash; the fat shingle
+            # arrays are read once, for the residual containment join).
+            # Caching the fat table instead evicts/spills at amplify≥60
+            # (~8 GB shingles) and turns every downstream stage into
+            # serialized disk churn that extra cores cannot speed up.
             reps = compute_repartition(exact_representatives(files))
             s = with_signatures(with_shingles(reps, CFG), CFG).select(
                 "file_id", "repo", "path", "lang", "size", "depth",
                 "minhash", "simhash", "shingles", "n_shingles",
-            ).persist()
-            s.count()
-            return s
+            )
+            s.write.mode("overwrite").parquet(sig_path)
+            out = spark.read.parquet(sig_path)
+            out.count()
+            return out
 
         sigs = timed("signatures", build_sigs)
 
@@ -162,9 +175,12 @@ def main() -> None:
         pairs = timed("lsh_pairs", build_pairs)
 
         def build_edges():
+            from uncp_spark.operators.verify import release_scored_cache
+
             e = accept_edges(score_pairs(pairs, sigs, CFG), CFG).select("src", "dst")
             e = e.unionByName(exact_cluster_edges(files).select("src", "dst")).persist()
             e.count()
+            release_scored_cache()
             return e
 
         edges = timed("verify_edges", build_edges)
@@ -183,7 +199,7 @@ def main() -> None:
 
         if pass_i < passes - 1:
             cold_timings = dict(timings)
-            for df in (files, ec, sigs, pairs, edges, labels, clusters):
+            for df in (files, ec, pairs, edges, labels, clusters):
                 df.unpersist(blocking=True)
             spark.catalog.clearCache()
 
@@ -239,6 +255,7 @@ def main() -> None:
         "cold_queries": cold_timings or None,
     }
     spark.stop()
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
     print(json.dumps(result))
 
 

@@ -51,6 +51,16 @@ def test_query_matches_oracle(spark, duck, name):
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), name
     assert len(spark_pdf) == len(duck_pdf), name
 
+    # dtype-KIND parity (int vs float vs object): the real driver hashes
+    # typed values, so a DuckDB HUGEINT (→ float/object) against a Spark
+    # long hash-mismatches even when the values compare equal — this is
+    # exactly the round-1 uncast-sum failure mode
+    for c in spark_pdf.columns:
+        ka, kb = spark_pdf[c].dtype.kind, duck_pdf[c].dtype.kind
+        assert ka == kb or {ka, kb} <= {"i", "u"}, (
+            f"{name}.{c}: dtype kind {ka} (spark) vs {kb} (oracle)"
+        )
+
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     # numeric columns: exact after the queries' own rounding
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False,

@@ -187,7 +187,8 @@ def repos_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT concat('fork/', source) AS repo,
                concat('forks/doc_', cast(doc_id AS string), '.txt') AS path,
                'deadbeef' AS commit, lang,
-               concat(text, ' trailing patch line alpha beta gamma') AS content
+               concat(coalesce(text, ''),
+                      ' trailing patch line alpha beta gamma') AS content
         FROM _docs_src WHERE doc_id % 5 = 0
         """
     )
@@ -209,6 +210,7 @@ REPOS_FROM_DOCUMENTS_DUCKDB = """
     SELECT concat('fork/', source) AS repo,
            concat('forks/doc_', cast(doc_id AS varchar), '.txt') AS path,
            'deadbeef' AS "commit", lang,
-           concat(text, ' trailing patch line alpha beta gamma') AS content
+           concat(coalesce(text, ''),
+                  ' trailing patch line alpha beta gamma') AS content
     FROM documents WHERE doc_id % 5 = 0
 """

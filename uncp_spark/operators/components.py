@@ -9,8 +9,13 @@ Algorithm: alternating large-star / small-star (Kiveris et al., 2014,
 "Connected Components in MapReduce and Beyond"). Each operation is one
 groupBy-min + one join — all equi-shuffles on node id — and the
 alternation converges in O(log n) rounds even on high-diameter graphs,
-unlike naive label propagation's O(diameter). Every round
-localCheckpoints to cut lineage (SURVEY.md §7.3 hard part #2).
+unlike naive label propagation's O(diameter). Every round checkpoints
+to cut lineage (SURVEY.md §7.3 hard part #2): with a ``checkpoint_dir``
+the cut is a RELIABLE checkpoint (parquet write + read-back — survives
+executor loss, required at cluster scale where a lost executor would
+otherwise kill the job mid-iteration); without one it falls back to
+``localCheckpoint`` (blocks pinned to executor storage — fine for
+local-mode tests, not fault-tolerant).
 
 Output: labels(file_id, cluster_id) where cluster_id = min file_id of
 the component — deterministic, so cluster ids are reproducible across
@@ -77,18 +82,37 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25
+    edges: DataFrame, max_iter: int = 25, checkpoint_dir: str | None = None
 ) -> DataFrame:
     """edges(src, dst) → labels(file_id, cluster_id).
 
     Only nodes that appear in an edge are labeled; callers union in
     singleton labels for isolated files (see ``label_all``).
+
+    ``checkpoint_dir``: directory for reliable per-iteration checkpoints
+    (parquet). Each round's edge set replaces the previous round's file,
+    so the footprint is two snapshots, and a mid-CC kill resumes from
+    the edges-stage checkpoint upstream with no pinned-executor state.
     """
     spark = edges.sparkSession
-    e = _canonical(edges).localCheckpoint(eager=True)
+
+    if checkpoint_dir is not None:
+        import os
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+        def cut(df: DataFrame, i: int) -> DataFrame:
+            path = os.path.join(checkpoint_dir, f"cc_iter_{i % 2}.parquet")
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+    else:
+        def cut(df: DataFrame, i: int) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    e = cut(_canonical(edges), -1)
     prev = None
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+    for it in range(max_iter):
+        e = cut(_small_star(_large_star(e)), it)
         cur = _checksum(e)
         if cur == prev:
             break

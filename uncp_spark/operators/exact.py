@@ -27,14 +27,16 @@ from pyspark.sql import functions as F
 
 
 def _group_relation(files: DataFrame, key: str, out_key: str, min_count: int = 2) -> DataFrame:
-    agg = (
-        files.groupBy(F.col(key).alias(out_key))
-        .agg(
-            F.sort_array(F.collect_list("path")).alias("file_paths"),
-            F.count("*").alias("file_count"),
-            F.sum("size").alias("total_size"),
-        )
-    )
+    aggs = [
+        F.sort_array(F.collect_list("path")).alias("file_paths"),
+        F.count("*").alias("file_count"),
+        F.sum("size").alias("total_size"),
+    ]
+    if "processed_at" in files.columns:
+        # F7: relation tables carry first_seen (i64 ns-epoch), matching
+        # uncp's relation schemas (src/relations.rs:330,360,386)
+        aggs.append(F.min("processed_at").alias("first_seen"))
+    agg = files.groupBy(F.col(key).alias(out_key)).agg(*aggs)
     if min_count > 1:
         agg = agg.filter(F.col("file_count") >= min_count)
     return agg
@@ -82,7 +84,11 @@ def exact_representatives(files: DataFrame) -> DataFrame:
     signature stage by the duplication factor."""
     w_cols = ["file_id", "repo", "path", "lang", "content", "sha256", "size", "depth"]
     return (
-        files.select(*w_cols)
+        # null content (sentinel-hashed singletons from ingest) never
+        # enters the fuzzy tier: no shingles to compare, and empty
+        # signatures would spuriously bucket unrelated unreadable files
+        files.filter(F.col("content").isNotNull())
+        .select(*w_cols)
         .withColumn(
             "_rn",
             F.row_number().over(Window.partitionBy("sha256").orderBy("file_id")),

@@ -29,13 +29,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def ingest(repos: DataFrame) -> DataFrame:
-    """repos(repo, path, commit, lang, content, ...) → t_files."""
+def ingest(repos: DataFrame, processed_at_ns: int | None = None) -> DataFrame:
+    """repos(repo, path, commit, lang, content, ...) → t_files.
+
+    Null content (an unreadable file in uncp terms) gets a per-row
+    sentinel hash, so distinct null-content rows stay individually
+    distinct: they never collapse into one exact group (sha2(null) is
+    null and would), never equi-join as dup partners, and the fuzzy tier
+    skips them (exact_representatives keeps only non-null content).
+
+    ``processed_at`` (F7): i64 ns-epoch scan stamp — uncp's
+    ``last_processed`` (src/data.rs:241-246). Pass ``processed_at_ns``
+    to pin it (tests/oracles); default is the query-stable now."""
+    from uncp_spark.functions.timefns import now_ns
+
+    processed = (
+        F.lit(processed_at_ns).cast("long")
+        if processed_at_ns is not None
+        else now_ns()
+    )
     return repos.withColumns(
         {
+            "processed_at": processed,
             "file_id": F.xxhash64("repo", "path"),
-            "sha256": F.sha2(F.col("content"), 256),
-            "size": F.octet_length("content").cast("long"),
+            "sha256": F.coalesce(
+                F.sha2(F.col("content"), 256),
+                F.concat(F.lit("nullcontent:"),
+                         F.xxhash64("repo", "path").cast("string")),
+            ),
+            "size": F.coalesce(F.octet_length("content").cast("long"), F.lit(0)),
             "depth": F.size(F.split(F.col("path"), "/")),
             "filename": F.substring_index(F.col("path"), "/", -1),
             "ext": F.lower(F.substring_index(F.col("path"), ".", -1)),

@@ -13,9 +13,13 @@ Canonical-member election per cluster: shallowest path, then
 lexicographic — row_number over the cluster window (replaces uncp's
 arbitrary uuid-first semantics with a deterministic choice, F8).
 
-Scale note: ranking windows run over the *cluster* table (≪ files) —
-an unpartitioned window over clusters is fine up to ~10^8 clusters;
-beyond that, rank only the top-K via orderBy + limit.
+Scale note: the global priority rank is computed WITHOUT a
+single-partition window: range-repartition on the order keys →
+row_number within each (already range-ordered) partition → add the
+per-partition row-count offsets (a tiny driver-side array, like the CC
+convergence checksum). Exact global ranks, every step distributed,
+balanced regardless of value skew. ``top_k`` short-circuits to
+orderBy+limit when only the head of the ranking is needed.
 """
 
 from __future__ import annotations
@@ -40,21 +44,82 @@ def cluster_stats(labeled_files: DataFrame, min_count: int = 2) -> DataFrame:
     )
 
 
-def priority_ranked(clusters: DataFrame) -> DataFrame:
-    """Ranked dedup candidates — bytes reclaimable first, then dup count,
-    then shallowest path. ``metadata`` carries the score inputs as a JSON
-    blob (uncp's group metadata field, src/relations.rs:415 / F9) and
-    ``reclaimable_human`` the B/KB/MB rendering (tui df_render F10)."""
-    order = [
+def _priority_order() -> list:
+    # built lazily: Column construction needs an active SparkContext
+    return [
         F.desc("bytes_reclaimable"),
         F.desc("dup_count"),
         F.asc("min_depth"),
         F.asc("cluster_id"),
     ]
-    w = Window.orderBy(*order)
+
+
+def global_rank(df: DataFrame, order: list, band: "F.Column",
+                rank_col: str = "priority_rank") -> DataFrame:
+    """Exact global row_number over ``order`` with NO single-partition
+    window.
+
+    ``band`` must be a deterministic integer expression of the row that
+    COARSENS the order: band(a) < band(b) ⇒ a sorts before b (for the
+    priority order, a descending log2 bucket of the leading sort key).
+    Rows are ranked within their band by a partitioned window, then each
+    band adds the cumulative row count of the bands before it — a tiny
+    driver-side array (one int per band, like the CC convergence
+    checksum), joined back broadcast. Every data-sized step is
+    distributed; a value-derived band (unlike repartitionByRange's
+    SAMPLED boundaries) is identical across re-executions, so the
+    rank-vs-offset consistency needs no caching."""
+    spark = df.sparkSession
+    banded = df.withColumn("_band", band)
+    local = banded.withColumn(
+        "_local_rank",
+        F.row_number().over(Window.partitionBy("_band").orderBy(*order)),
+    )
+    counts = sorted(
+        (r["_band"], r["n"])
+        for r in banded.groupBy("_band").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for b, n in counts:
+        offsets.append((b, acc))
+        acc += n
+    if not offsets:  # empty input: keep the schema, zero rows
+        return df.withColumn(rank_col, F.lit(None).cast("int"))
+    off_df = spark.createDataFrame(offsets, ["_band", "_offset"])
     return (
-        clusters.withColumn("priority_rank", F.row_number().over(w))
-        .withColumn(
+        local.join(F.broadcast(off_df), "_band")
+        .withColumn(rank_col, (F.col("_offset") + F.col("_local_rank")).cast("int"))
+        .drop("_band", "_local_rank", "_offset")
+    )
+
+
+def _priority_band() -> "F.Column":
+    """Descending log2 bucket of bytes_reclaimable: equal values share a
+    band, larger values get strictly smaller bands — a coarsening of
+    bytes_reclaimable DESC, so per-band ranks + offsets = global rank."""
+    return (F.lit(64) - F.floor(F.log2(F.col("bytes_reclaimable") + 2))).cast("int")
+
+
+def priority_ranked(clusters: DataFrame, top_k: int | None = None) -> DataFrame:
+    """Ranked dedup candidates — bytes reclaimable first, then dup count,
+    then shallowest path. ``metadata`` carries the score inputs as a JSON
+    blob (uncp's group metadata field, src/relations.rs:415 / F9) and
+    ``reclaimable_human`` the B/KB/MB rendering (tui df_render F10).
+
+    ``top_k``: rank only the best K clusters (orderBy+limit — the right
+    call for interactive views at 100 TB); default ranks everything via
+    the distributed ``global_rank``."""
+    order = _priority_order()
+    if top_k is not None:
+        head = clusters.orderBy(*order).limit(top_k)
+        ranked = head.withColumn(
+            "priority_rank",
+            F.row_number().over(Window.orderBy(*order)),
+        )
+    else:
+        ranked = global_rank(clusters, order, _priority_band())
+    return (
+        ranked.withColumn(
             "metadata",
             F.to_json(F.struct("dup_count", "bytes_reclaimable", "min_depth", "n_repos")),
         )

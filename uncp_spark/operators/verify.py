@@ -27,6 +27,23 @@ from pyspark.storagelevel import StorageLevel
 
 from uncp_spark.config import SimilarityConfig
 
+# phase-1 caches of previous score_pairs calls: retired on the next call
+# so a long-lived session running many queries doesn't accumulate
+# persisted partitions (each retire is safe — unpersist only drops the
+# cache, the plan stays recomputable)
+_phase1_handles: list[DataFrame] = []
+
+
+def release_scored_cache() -> None:
+    """Unpersist phase-1 caches left by score_pairs. Call after the
+    scored edges are materialized (checkpointed / collected)."""
+    while _phase1_handles:
+        df = _phase1_handles.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
 
 def score_pairs(
     pairs: DataFrame, sigs: DataFrame, cfg: SimilarityConfig
@@ -40,7 +57,10 @@ def score_pairs(
     dominant shuffle payload — join only for pairs NOT already accepted
     by phase 1 (containment can only *add* acceptances, so the accepted
     edge set is identical to a single-phase evaluation; phase-1 winners
-    report containment = NULL, meaning 'not evaluated')."""
+    report containment = NULL, meaning 'not evaluated'). The shingle
+    join is further narrowed with a semi-join on the residual pairs'
+    member ids, so the signature table is scanned once for shingles and
+    the shingle shuffle is sized to the residual set, not the corpus."""
     mh = sigs.select("file_id", "minhash", "simhash")
     a = mh.select(
         F.col("file_id").alias("src"),
@@ -64,9 +84,22 @@ def score_pairs(
     )
     # both output branches scan phase1; persist so the 128-wide signature
     # comparison runs once (narrow 5-column cache, spills to disk if big)
+    release_scored_cache()
     phase1 = phase1.persist(StorageLevel.MEMORY_AND_DISK)
+    _phase1_handles.append(phase1)
 
-    sg = sigs.select("file_id", "shingles")
+    accepted1 = (F.col("est_jaccard") >= cfg.jaccard_threshold) | (
+        F.col("hamming") <= cfg.hamming_threshold
+    )
+    residual_base = phase1.filter(~accepted1)
+    # shingle arrays only for files that actually appear in a residual
+    # pair: one scan of the signature table, shuffle sized to residuals
+    need = (
+        residual_base.select(F.col("src").alias("file_id"))
+        .unionByName(residual_base.select(F.col("dst").alias("file_id")))
+        .distinct()
+    )
+    sg = sigs.select("file_id", "shingles").join(need, "file_id", "left_semi")
     sa = sg.select(F.col("file_id").alias("src"), F.col("shingles").alias("sg_a"))
     sb = sg.select(F.col("file_id").alias("dst"), F.col("shingles").alias("sg_b"))
     inter = F.size(F.array_intersect("sg_a", "sg_b")).cast("double")
@@ -74,11 +107,8 @@ def score_pairs(
         inter / F.least(F.size("sg_a"), F.size("sg_b")).cast("double")
     ).alias("containment")
 
-    accepted1 = (F.col("est_jaccard") >= cfg.jaccard_threshold) | (
-        F.col("hamming") <= cfg.hamming_threshold
-    )
     residual = (
-        phase1.filter(~accepted1)
+        residual_base
         .join(sa, "src")
         .join(sb, "dst")
         .select("src", "dst", "from_hot_band", "est_jaccard", "hamming", containment)

@@ -7,17 +7,22 @@ checkpointed table and the loop collapses to "first incomplete stage
 wins" — rerunning the pipeline after a kill recomputes only missing
 stages (tested in tests/test_resume.py).
 
-Stage graph:
+X3 stage protocol (uncp ``SystemRunner``, src/systems/mod.rs:18-42): the
+stage list is DATA, not code — each ``StageSpec`` declares its name, its
+dependency stages (the analogue of ``can_run``'s dependency check) and a
+builder ``(spark, ctx) → DataFrame``. ``DedupPipeline(stages=[...])``
+accepts a custom graph; the default graph is:
+
     files   = ingest(repos)                      sha256/size/depth
     sigs    = minhash+simhash(shingle(reps))     reps = 1 row per sha256
     pairs   = LSH candidates (+ hot-bucket report)
-    edges   = verified pairs ∪ exact-tier star edges
+    edges   = scorer(pairs) ∪ exact-tier star edges   (scorer = X1 registry)
     labels  = connected components
     clusters= priority-ranked cluster stats
 
-Every checkpoint manifest chains the upstream manifest token, giving
-per-stage lineage; per-partition row counts are embedded (north_rule's
-"per-partition lineage + metrics").
+Every checkpoint manifest chains the manifest tokens of the stage's
+declared dependencies, giving per-stage lineage; per-partition row
+counts are embedded (north_rule's "per-partition lineage + metrics").
 """
 
 from __future__ import annotations
@@ -25,10 +30,10 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass
+from collections.abc import Callable
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from uncp_spark.config import SimilarityConfig
 from uncp_spark.operators.components import connected_components, label_all
@@ -36,9 +41,9 @@ from uncp_spark.operators.exact import exact_cluster_edges, exact_representative
 from uncp_spark.operators.ingest import ingest
 from uncp_spark.operators.lsh import candidate_pairs
 from uncp_spark.operators.signatures import with_signatures
-from uncp_spark.operators.priority import cluster_stats, priority_ranked, register_views, elect_canonical
+from uncp_spark.operators.priority import cluster_stats, priority_ranked, register_views
 from uncp_spark.operators.shingle import with_shingles
-from uncp_spark.operators.verify import accept_edges, score_pairs
+from uncp_spark.plans.registry import get_scorer
 from uncp_spark.session import compute_repartition
 from uncp_spark.sources import checkpoint as ckpt
 
@@ -46,32 +51,99 @@ SIG_COLS = ["file_id", "repo", "path", "lang", "size", "depth",
             "minhash", "simhash", "shingles", "n_shingles"]
 
 
+@dataclass(frozen=True)
+class StageSpec:
+    """One checkpointed pipeline stage (SystemRunner parity: name ≈
+    ``name()``, deps ≈ ``can_run`` dependencies, build ≈ ``run``)."""
+
+    name: str
+    deps: tuple[str, ...]
+    build: Callable[[SparkSession, dict], DataFrame]
+    # extra identity mixed into the stage's input token (e.g. the scorer
+    # name) so swapping a pluggable component invalidates the checkpoint
+    token_salt: str = ""
+
+
 @dataclass
 class DedupPipeline:
     base_dir: str
-    cfg: SimilarityConfig = SimilarityConfig()
+    cfg: SimilarityConfig = field(default_factory=SimilarityConfig)
+    scorer: str = "minhash_simhash_containment"   # X1 registry key
+    stages: list[StageSpec] | None = None
 
     def _stage_dir(self, name: str) -> str:
         return os.path.join(self.base_dir, name)
 
+    # ------------------------------------------------------ default graph
+
+    def default_stages(self) -> list[StageSpec]:
+        cfg = self.cfg
+
+        def build_files(spark, ctx):
+            return ingest(ctx["repos"])
+
+        def build_sigs(spark, ctx):
+            reps = compute_repartition(exact_representatives(ctx["files"]))
+            return with_signatures(with_shingles(reps, cfg), cfg).select(*SIG_COLS)
+
+        def build_pairs(spark, ctx):
+            pairs, hot = candidate_pairs(ctx["sigs"], cfg)
+            # hot-bucket report persisted alongside (skew observability)
+            hot.write.mode("overwrite").parquet(self._stage_dir("hot_buckets"))
+            return pairs
+
+        def build_edges(spark, ctx):
+            near = get_scorer(self.scorer).fn(ctx["pairs"], ctx["sigs"], cfg)
+            exact = exact_cluster_edges(ctx["files"])
+            return near.select("src", "dst", "score", "edge_type").unionByName(
+                exact.select("src", "dst", "score", "edge_type")
+            )
+
+        def build_labels(spark, ctx):
+            return connected_components(
+                ctx["edges"].select("src", "dst"),
+                checkpoint_dir=os.path.join(self.base_dir, "_cc_checkpoints"),
+            )
+
+        def build_clusters(spark, ctx):
+            return priority_ranked(
+                cluster_stats(label_all(ctx["files"], ctx["labels"]))
+            )
+
+        return [
+            StageSpec("files", (), build_files),
+            StageSpec("sigs", ("files",), build_sigs),
+            StageSpec("pairs", ("sigs",), build_pairs),
+            StageSpec("edges", ("pairs", "sigs", "files"), build_edges,
+                      token_salt=f"scorer={self.scorer}"),
+            StageSpec("labels", ("edges",), build_labels),
+            StageSpec("clusters", ("labels", "files"), build_clusters),
+        ]
+
+    # ------------------------------------------------------------- runner
+
     def _run_stage(
         self,
         spark: SparkSession,
-        name: str,
+        spec: StageSpec,
         input_token: str,
-        build: "callable",
+        ctx: dict,
         results: list,
         resume: bool,
     ) -> tuple[DataFrame, str]:
-        path = self._stage_dir(name)
+        path = self._stage_dir(spec.name)
         chash = self.cfg.config_hash()
         if resume and ckpt.is_complete(path, chash, input_token):
             df = ckpt.read_checkpoint(spark, path)
             m = ckpt.read_manifest(path) or {}
-            results.append(ckpt.StageResult(name, path, m.get("rows", -1), 0.0, True, m))
+            results.append(
+                ckpt.StageResult(spec.name, path, m.get("rows", -1), 0.0, True, m)
+            )
         else:
-            df = build()
-            results.append(ckpt.write_checkpoint(df, path, name, chash, input_token))
+            df = spec.build(spark, ctx)
+            results.append(
+                ckpt.write_checkpoint(df, path, spec.name, chash, input_token)
+            )
             df = ckpt.read_checkpoint(spark, path)
         return df, ckpt.manifest_token(path)
 
@@ -83,59 +155,46 @@ class DedupPipeline:
         resume: bool = True,
         register_sql_views: bool = True,
     ) -> dict:
-        """Run (or resume) the full pipeline. Returns dict of output
+        """Run (or resume) the stage graph. Returns dict of output
         DataFrames + stage metrics."""
         t0 = time.monotonic()
         os.makedirs(self.base_dir, exist_ok=True)
         results: list[ckpt.StageResult] = []
-        cfg = self.cfg
+        stages = self.stages if self.stages is not None else self.default_stages()
 
-        files, tok = self._run_stage(
-            spark, "files", input_token, lambda: ingest(repos), results, resume
-        )
-
-        def build_sigs() -> DataFrame:
-            reps = compute_repartition(exact_representatives(files))
-            return with_signatures(with_shingles(reps, cfg), cfg).select(*SIG_COLS)
-
-        sigs, tok_sigs = self._run_stage(spark, "sigs", tok, build_sigs, results, resume)
-
-        def build_pairs() -> DataFrame:
-            pairs, hot = candidate_pairs(sigs, cfg)
-            # hot-bucket report persisted alongside (skew observability)
-            hot.write.mode("overwrite").parquet(self._stage_dir("hot_buckets"))
-            return pairs
-
-        pairs, tok_pairs = self._run_stage(spark, "pairs", tok_sigs, build_pairs, results, resume)
-
-        def build_edges() -> DataFrame:
-            near = accept_edges(score_pairs(pairs, sigs, cfg), cfg)
-            exact = exact_cluster_edges(files)
-            return near.select("src", "dst", "score", "edge_type").unionByName(
-                exact.select("src", "dst", "score", "edge_type")
+        ctx: dict = {"repos": repos, "cfg": self.cfg, "base_dir": self.base_dir}
+        reserved = set(ctx) | {"report", "labeled"}
+        tokens: dict[str, str] = {}
+        for spec in stages:
+            if spec.name in reserved:
+                raise ValueError(f"stage name {spec.name!r} is reserved")
+            missing = [d for d in spec.deps if d not in tokens]
+            if missing:
+                raise ValueError(
+                    f"stage {spec.name!r} depends on {missing} which have "
+                    f"not run — stage list order must satisfy deps"
+                )
+            tok_in = (
+                "|".join(tokens[d] for d in spec.deps) if spec.deps else input_token
             )
+            if spec.token_salt:
+                tok_in = f"{tok_in}|{spec.token_salt}"
+            df, tok = self._run_stage(spark, spec, tok_in, ctx, results, resume)
+            ctx[spec.name] = df
+            tokens[spec.name] = tok
 
-        edges, tok_edges = self._run_stage(spark, "edges", tok_pairs, build_edges, results, resume)
-
-        def build_labels() -> DataFrame:
-            return connected_components(edges.select("src", "dst"))
-
-        labels, tok_labels = self._run_stage(spark, "labels", tok_edges, build_labels, results, resume)
-
-        labeled = label_all(files, labels)
-
-        def build_clusters() -> DataFrame:
-            return priority_ranked(cluster_stats(labeled))
-
-        clusters, _ = self._run_stage(spark, "clusters", tok_labels, build_clusters, results, resume)
-
-        if register_sql_views:
-            register_views(spark, clusters, labeled)
+        labeled = (
+            label_all(ctx["files"], ctx["labels"])
+            if "files" in ctx and "labels" in ctx
+            else None
+        )
+        if register_sql_views and labeled is not None and "clusters" in ctx:
+            register_views(spark, ctx["clusters"], labeled)
 
         total = time.monotonic() - t0
         run_report = {
             "total_seconds": round(total, 3),
-            "config_hash": cfg.config_hash(),
+            "config_hash": self.cfg.config_hash(),
             "stages": [
                 {"stage": r.name, "rows": r.rows, "seconds": round(r.seconds, 3),
                  "resumed": r.resumed}
@@ -144,13 +203,7 @@ class DedupPipeline:
         }
         with open(os.path.join(self.base_dir, "_run.json"), "w") as f:
             json.dump(run_report, f, indent=1)
-        return {
-            "files": files,
-            "sigs": sigs,
-            "pairs": pairs,
-            "edges": edges,
-            "labels": labels,
-            "labeled": labeled,
-            "clusters": clusters,
-            "report": run_report,
-        }
+        out = {name: ctx[name] for name in tokens}
+        out["labeled"] = labeled
+        out["report"] = run_report
+        return out

@@ -1,0 +1,161 @@
+"""X1/X2 — pluggable similarity scorers and typed relation registries.
+
+Reference parity: uncp DESIGNS (never ships) a ``SimilarityProvider``
+trait — name, priority, can_compare, compute_similarity — selected per
+pair (DESIGN.md:240-258), and a typed relation registration protocol —
+``RelationKey``: name, description, schema, version
+(src/relations.rs:44-66). Spark-first re-expression: a provider is a
+*vectorized* scorer ``DataFrame[pairs] → DataFrame[edges]`` (never a
+per-pair callback — that would be a per-row UDF), and a relation is a
+named producer ``DataFrame[files] → DataFrame`` with a declared schema
+that is validated on build.
+
+Both registries are plain dicts with register/get/list; built-ins are
+registered at import so ``get_scorer("minhash")`` works out of the box
+and adding a 4th similarity tier means one ``register_scorer`` call —
+no edits to verify.py or pipeline.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from uncp_spark.config import SimilarityConfig
+
+# ------------------------------------------------------------- scorers (X1)
+
+# a scorer takes (pairs(src,dst,...), sigs, cfg) and returns accepted
+# edges (src, dst, score, edge_type) — the vectorized analogue of
+# SimilarityProvider.compute_similarity over a whole candidate table
+ScorerFn = Callable[[DataFrame, DataFrame, SimilarityConfig], DataFrame]
+
+
+@dataclass(frozen=True)
+class ScorerSpec:
+    name: str
+    fn: ScorerFn
+    priority: int = 100          # higher runs first, DESIGN.md:244
+    description: str = ""
+
+
+_SCORERS: dict[str, ScorerSpec] = {}
+
+
+def register_scorer(name: str, fn: ScorerFn, priority: int = 100,
+                    description: str = "") -> ScorerSpec:
+    spec = ScorerSpec(name, fn, priority, description)
+    _SCORERS[name] = spec
+    return spec
+
+
+def get_scorer(name: str) -> ScorerSpec:
+    try:
+        return _SCORERS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown scorer {name!r}; registered: {sorted(_SCORERS)}"
+        ) from None
+
+
+def list_scorers() -> list[ScorerSpec]:
+    return sorted(_SCORERS.values(), key=lambda s: -s.priority)
+
+
+# ----------------------------------------------------------- relations (X2)
+
+RelationProducer = Callable[[DataFrame], DataFrame]
+
+
+@dataclass(frozen=True)
+class RelationSpec:
+    """RelationKey parity (src/relations.rs:44-66): name, description,
+    schema, version — plus the producer that builds the relation table
+    from the files table."""
+
+    name: str
+    description: str
+    schema: tuple[str, ...]      # required output column names
+    producer: RelationProducer = field(compare=False)
+    version: int = 1
+
+
+_RELATIONS: dict[str, RelationSpec] = {}
+
+
+def register_relation(name: str, description: str, schema: list[str],
+                      producer: RelationProducer, version: int = 1) -> RelationSpec:
+    spec = RelationSpec(name, description, tuple(schema), producer, version)
+    _RELATIONS[name] = spec
+    return spec
+
+
+def get_relation(name: str) -> RelationSpec:
+    try:
+        return _RELATIONS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown relation {name!r}; registered: {sorted(_RELATIONS)}"
+        ) from None
+
+
+def list_relations() -> list[RelationSpec]:
+    return sorted(_RELATIONS.values(), key=lambda r: r.name)
+
+
+def build_relation(name: str, files: DataFrame) -> DataFrame:
+    """Build a registered relation and validate its declared schema —
+    the typed-store guarantee of src/relations.rs:169-267."""
+    spec = get_relation(name)
+    out = spec.producer(files)
+    missing = [c for c in spec.schema if c not in out.columns]
+    if missing:
+        raise ValueError(
+            f"relation {name!r} producer output misses declared columns "
+            f"{missing}; got {out.columns}"
+        )
+    return out
+
+
+# ------------------------------------------------------------- built-ins
+
+def _register_builtins() -> None:
+    from uncp_spark.operators.exact import (
+        exact_clusters,
+        same_name_groups,
+        same_size_groups,
+    )
+    from uncp_spark.operators.verify import accept_edges, score_pairs
+
+    def minhash_scorer(pairs, sigs, cfg):
+        return accept_edges(score_pairs(pairs, sigs, cfg), cfg)
+
+    register_scorer(
+        "minhash_simhash_containment", minhash_scorer, priority=100,
+        description="two-phase MinHash est-Jaccard / SimHash hamming / "
+                    "exact shingle containment (the default fuzzy tier)",
+    )
+
+    register_relation(
+        "identical_hashes", "files sharing a content hash (IdenticalHashes, "
+        "src/relations.rs:327-339)",
+        ["hash_value", "file_paths", "file_count", "total_size"],
+        exact_clusters,
+    )
+    register_relation(
+        "same_name", "files sharing a filename (SameName relation, "
+        "src/relations.rs:352-366)",
+        ["filename_key", "file_paths", "file_count", "total_size"],
+        same_name_groups,
+    )
+    register_relation(
+        "same_size", "files sharing a byte size (SameSize relation, "
+        "src/relations.rs:377-391)",
+        ["size_bytes", "file_paths", "file_count"],
+        same_size_groups,
+    )
+
+
+_register_builtins()

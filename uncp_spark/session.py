@@ -38,10 +38,17 @@ def get_spark(
     master = f"local[{cores}]"
     n = (os.cpu_count() or 8) if cores == "*" else int(cores)
     if shuffle_partitions is None:
-        # 2x cores: enough tasks for AQE to coalesce, not so many that
-        # task overhead dominates at local scale. On a real cluster this
-        # scales with executors*cores (set via spark-submit conf).
-        shuffle_partitions = max(2 * n, 8)
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE")
+        if env_sp:
+            # pinned (scaling comparisons MUST hold the logical plan
+            # constant across parallelism arms — on a real cluster the
+            # shuffle-partition conf stays fixed while executors scale)
+            shuffle_partitions = int(env_sp)
+        else:
+            # 2x cores: enough tasks for AQE to coalesce, not so many that
+            # task overhead dominates at local scale. On a real cluster this
+            # scales with executors*cores (set via spark-submit conf).
+            shuffle_partitions = max(2 * n, 8)
 
     builder = (
         SparkSession.builder.master(master)
