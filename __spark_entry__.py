@@ -132,6 +132,9 @@ def q_exact_cluster_priority(spark, sf_dir):
     )
     from pyspark.sql import Window
 
+    # global window: kept here because the oracle needs a total order
+    # over a FILTERED, bounded input (clusters with dup_count >= 2);
+    # the production path uses the banded rank in operators/priority.py
     w = Window.orderBy(
         F.desc("bytes_reclaimable"), F.desc("dup_count"),
         F.asc("min_depth"), F.asc("cluster_key"),
@@ -282,37 +285,86 @@ def q_media_metadata(spark, sf_dir):
     return media_metadata(media)
 
 
-def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Brute-force token-set (1-gram) Jaccard near-dup pairs on
-    documents — the exact-Jaccard baseline the LSH tier approximates.
-    O(n²) scoring: correctness oracle only; the scale path is LSH."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _jaccard_pair_edges(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact token-set Jaccard pairs with a *lossless* length-bucket
+    blocker: J(A,B) ≥ t implies min(|A|,|B|)/max(|A|,|B|) ≥ t, so at
+    t=0.8 only token counts within a ×1.25 ratio can pair. Bucketing by
+    floor(ln n / ln 1.25) and equi-joining each left row to buckets
+    {b-1, b, b+1} therefore loses no qualifying pair while turning the
+    O(n²) cross join into a per-bucket join — the plan survives a larger
+    corpus instead of detonating (the all-pairs work only happens within
+    a ×1.56 length band)."""
+    import math
+
     toks = docs.select(
         "doc_id",
         F.array_distinct(
             F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
         ).alias("toks"),
     )
-    a = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
-    b = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    bucket = F.floor(
+        F.log(F.greatest(F.size("toks"), F.lit(1)).cast("double")) / math.log(1.25)
+    )
+    a = toks.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("toks").alias("ta"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bk"),
+    )
+    b = toks.select(
+        F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"), bucket.alias("bk")
+    )
     inter = F.size(F.array_intersect("ta", "tb")).cast("double")
     union = (F.size("ta") + F.size("tb")).cast("double") - inter
     return (
-        a.crossJoin(b)
+        a.join(b, "bk")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("jaccard", F.round(inter / union, 4))
-        .filter(F.col("jaccard") >= 0.8)
+        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact token-set (1-gram) Jaccard near-dup pairs on documents —
+    the exact-Jaccard baseline the LSH tier approximates. Length-bucket
+    blocked (see _jaccard_pair_edges), so the join is bounded per bucket
+    rather than all-pairs; the DuckDB oracle keeps the pure O(n²)
+    definition — identical results, because the blocker is lossless."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _jaccard_pair_edges(docs, threshold=0.8)
+
+
+def q_cc_bruteforce(spark, sf_dir):
+    """F8/north_rule clustering oracle: distributed connected components
+    (alternating large-star/small-star, components.py) over the exact
+    Jaccard ≥ 0.8 pair set, labels = min doc_id per component. The
+    DuckDB oracle computes the identical components with a recursive
+    transitive-closure CTE — a fully independent algorithm — so a green
+    hash match proves the union-find-over-self-joins operator, which the
+    LSH pipeline's cluster stage reuses unchanged."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = _jaccard_pair_edges(docs, threshold=0.8).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    labels = connected_components(edges)
+    nodes = docs.select(F.col("doc_id").alias("file_id"))
+    return label_all(nodes, labels).select(
+        F.col("file_id").alias("doc_id"), "cluster_id"
     )
 
 
 def q_embedding_cosine_pairs(spark, sf_dir):
     """Brute-force embedding-cosine near-dup pairs (exact baseline; the
-    scale path is multi-table RP-LSH in functions/similarity_search)."""
+    scale path is multi-table RP-LSH in functions/similarity_search).
+    Corpus capped at vec_id < 4096 on both sides (mirrored in the
+    oracle) so the quadratic baseline is bounded at any sf — a larger-sf
+    driver run can never detonate it into >8M comparisons."""
     from uncp_spark.functions.similarity_search import cosine_similarity_col
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 4096)
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
     )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
@@ -416,6 +468,113 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ann_lsh_recall(spark, sf_dir):
+    """RP-LSH recall gate at the pinned scale params (bits=12, tables=8).
+
+    The synthetic embeddings have no organic high-cosine pairs (max
+    ≈ 0.5), so the query plants them SQL-expressibly: each vector gets a
+    rotation-perturbed twin v' = v + 0.05·rot(v) (cos(v, v') ≈ 0.9988,
+    id + 100000). Spark finds near-dup pairs (cos ≥ 0.95) via the
+    *bucketed* multi-table RP-LSH path (similarity_search.ann_topk —
+    equi-join on (table, bucket), never the cross join); the DuckDB
+    oracle computes the exact cos ≥ 0.95 pair set over the same
+    augmented corpus. At cos 0.9988 the per-pair miss probability is
+    (1 - (1-θ/π)^12)^8 ≈ 8e-7, so the row sets match iff LSH recall is
+    1.0 — the hash match IS the recall gate, with organic 0.5-cos pairs
+    correctly below threshold on both sides."""
+    from uncp_spark.functions.similarity_search import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    rot = F.concat(
+        F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        F.slice("embedding", 1, 1),
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with("embedding", rot, lambda x, y: x + F.lit(0.05) * y).alias(
+            "embedding"
+        ),
+    )
+    aug = emb.unionByName(pert)
+    pairs = embedding_near_dup_pairs(
+        aug, dim=64, threshold=0.95, bits=12, tables=8, seed=42
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
+
+
+def q_containment_pairs(spark, sf_dir):
+    """F17 oracle: exact substring containment over distinct contents,
+    via the suffix-array kernel (functions/suffix.py) inside the
+    substring_containment operator. The corpus fork fixture plants true
+    containments (fork = original + appended tail), so the result is
+    non-trivial. Both sides cap the content set to the first 400 by
+    sha256 order — deterministic and mirrored in the oracle — so the
+    quadratic candidate set is bounded at any sf (the scale path runs
+    the same kernel on LSH candidates only, see substring_containment).
+    Reference anchor: uncp DESIGN.md:231-258 content-aware tier."""
+    from pyspark.sql import Window
+
+    files = _files(spark, sf_dir)
+    reps = (
+        files.dropDuplicates(["sha256"])
+        .select("file_id", "sha256", "content")
+        .withColumn("_rk", F.row_number().over(Window.orderBy("sha256")))
+        .filter(F.col("_rk") <= 400)
+        .drop("_rk")
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("content")), r"\s+", " "))
+    texts = reps.select("file_id", "sha256", norm.alias("norm_text"))
+    a = texts.select(
+        F.col("file_id").alias("src"),
+        F.col("sha256").alias("sha_a"),
+        F.length("norm_text").alias("len_a"),
+    )
+    b = texts.select(
+        F.col("file_id").alias("dst"),
+        F.col("sha256").alias("sha_b"),
+        F.length("norm_text").alias("len_b"),
+    )
+    cand = a.crossJoin(b).filter(F.col("len_a") < F.col("len_b"))
+    verdicts = substring_containment(cand.select("src", "dst"), texts)
+    return (
+        verdicts.filter(F.col("substr_contained"))
+        .join(a.select("src", "sha_a"), "src")
+        .join(b.select("dst", "sha_b"), "dst")
+        .select("sha_a", "sha_b")
+    )
+
+
+def q_shingle_stats(spark, sf_dir):
+    """F14 oracle: per-distinct-content shingle-set cardinality from the
+    real signature stage (with_shingles: 5-token-window xxhash64 sets,
+    9-char-gram fallback under 5 tokens). DuckDB rebuilds the identical
+    windows as strings — token windows joined by space are injective
+    (tokens cannot contain spaces), so count-distinct matches exactly
+    unless the xxhash64 window hashing collides (none on this corpus)."""
+    files = _files(spark, sf_dir)
+    sigs = _sigs(files)
+    return sigs.join(files.select("file_id", "sha256"), "file_id").select(
+        "sha256", "n_shingles"
+    )
+
+
+def q_fingerprint_cardinality(spark, sf_dir):
+    """F — document fingerprint (xxhash64 of normalized text) collision
+    audit: distinct fingerprints must equal distinct normalized texts.
+    DuckDB cannot compute xxhash64, but it can compute what the count
+    must equal if the fingerprint is injective on the corpus — the
+    invariant the dedup index actually relies on."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return docs.agg(
+        F.countDistinct(norm).alias("n_norm"),
+        F.countDistinct(fingerprint64(F.col("text"))).alias("n_fp"),
+    )
+
+
 # ----- fuzzy-tier queries: rows-only checks (no SQL oracle possible) -----
 
 def q_minhash_signatures(spark, sf_dir):
@@ -451,9 +610,11 @@ def q_substring_containment(spark, sf_dir):
 
 
 def q_language_id(spark, sf_dir):
+    """Marker-set language ID (functions/text.py) — oracle-checked: the
+    DuckDB side recomputes per-language stopword hits and takes the same
+    (hits DESC, lang DESC) argmax, 'unknown' when no marker appears."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"),
-                       fingerprint64(F.col("text")).alias("fingerprint"))
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -481,15 +642,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "lsh_recall_vs_bruteforce": q_lsh_recall_vs_bruteforce,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "cc_bruteforce": q_cc_bruteforce,
+        "containment_pairs": q_containment_pairs,
+        "shingle_stats": q_shingle_stats,
+        "fingerprint_cardinality": q_fingerprint_cardinality,
+        "language_id": q_language_id,
         "same_name_unique_content": q_same_name_unique_content,
         "groups_containing_file": q_groups_containing_file,
-        # fuzzy tier (rows-only)
+        # fuzzy tier (rows-only: MinHash estimates / LSH thresholds are
+        # not ANSI-SQL-expressible; their kernels are oracle-checked via
+        # lsh_recall_vs_bruteforce, cc_bruteforce, containment_pairs,
+        # shingle_stats instead)
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_priority": q_near_dup_priority,
         "substring_containment": q_substring_containment,
-        "language_id": q_language_id,
     }
 
 
@@ -518,7 +687,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_clusters": f"""
             {_FILES}
             SELECT sha256 AS hash_value,
-                   array_to_string(list_sort(list(path)), ',') AS members,
+                   array_to_string(list_slice(list_sort(list(path)), 1, 1000), ',')
+                     AS members,
                    count(*) AS file_count,
                    sum(size)::BIGINT AS total_size
             FROM files GROUP BY sha256 HAVING count(*) >= 2
@@ -526,7 +696,8 @@ def oracle_sql() -> dict[str, str]:
         "same_size_groups": f"""
             {_FILES}
             SELECT size AS size_bytes,
-                   array_to_string(list_sort(list(path)), ',') AS members,
+                   array_to_string(list_slice(list_sort(list(path)), 1, 1000), ',')
+                     AS members,
                    count(*) AS file_count
             FROM files GROUP BY size HAVING count(*) >= 2
         """,
@@ -699,6 +870,133 @@ def oracle_sql() -> dict[str, str]:
                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
             FROM embeddings a CROSS JOIN embeddings b
             WHERE a.vec_id < b.vec_id AND cosine >= 0.35
+              AND a.vec_id < 4096 AND b.vec_id < 4096
+        """,
+        "ann_lsh_recall": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), p AS (
+              SELECT vec_id + 100000 AS vec_id,
+                     list_transform(
+                       list_zip(v, list_concat(v[2:], [v[1]])),
+                       x -> x[1] + 0.05 * x[2]
+                     ) AS v
+              FROM e
+            ), aug AS (
+              SELECT * FROM e UNION ALL SELECT * FROM p
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(round(list_cosine_similarity(a.v, b.v), 6), 4)
+                     AS cosine_r
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+        """,
+        "cc_bruteforce": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_distinct(string_split(
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '
+                     )) AS t
+              FROM documents
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+              WHERE round(
+                      len(list_intersect(a.t, b.t))::DOUBLE /
+                      (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))::DOUBLE,
+                    4) >= 0.8
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            )
+            SELECT src AS doc_id, min(dst) AS cluster_id
+            FROM reach GROUP BY src
+        """,
+        "containment_pairs": f"""
+            {_REPOS},
+            contents AS (
+              SELECT sha256(content) AS sha,
+                     trim(regexp_replace(lower(content), '\\s+', ' ', 'g')) AS norm
+              FROM (SELECT DISTINCT content FROM repos)
+              QUALIFY row_number() OVER (ORDER BY sha) <= 400
+            )
+            SELECT a.sha AS sha_a, b.sha AS sha_b
+            FROM contents a CROSS JOIN contents b
+            WHERE strlen(a.norm) < strlen(b.norm)
+              AND contains(b.norm, a.norm)
+        """,
+        "shingle_stats": f"""
+            {_REPOS},
+            contents AS (SELECT DISTINCT content FROM repos),
+            t AS (
+              SELECT sha256(content) AS sha256,
+                     trim(regexp_replace(lower(content), '\\s+', ' ', 'g')) AS norm
+              FROM contents
+            ), tok AS (
+              SELECT sha256, norm, string_split(norm, ' ') AS tk FROM t
+            )
+            SELECT sha256,
+                   (CASE WHEN len(tk) >= 5 THEN
+                      len(list_distinct(list_transform(
+                        generate_series(1, len(tk) - 4),
+                        i -> array_to_string(list_slice(tk, i, i + 4), ' ')
+                      )))
+                    ELSE
+                      len(list_distinct(list_transform(
+                        generate_series(1, greatest(1, strlen(norm) - 8)),
+                        i -> substring(norm, i, 9)
+                      )))
+                    END)::INT AS n_shingles
+            FROM tok
+        """,
+        "fingerprint_cardinality": """
+            SELECT count(DISTINCT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                     AS n_norm,
+                   count(DISTINCT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                     AS n_fp
+            FROM documents
+        """,
+        "language_id": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '
+                     ) AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, 'en' AS lang,
+                     len(list_filter(toks,
+                       x -> list_contains(['the','and','of','to','is'], x))) AS hits
+              FROM t
+              UNION ALL
+              SELECT doc_id, 'de',
+                     len(list_filter(toks,
+                       x -> list_contains(['der','die','und','ist','nicht'], x)))
+              FROM t
+              UNION ALL
+              SELECT doc_id, 'fr',
+                     len(list_filter(toks,
+                       x -> list_contains(['le','la','les','et','est'], x)))
+              FROM t
+              UNION ALL
+              SELECT doc_id, 'es',
+                     len(list_filter(toks,
+                       x -> list_contains(['el','los','que','es','una'], x)))
+              FROM t
+            ), best AS (
+              SELECT doc_id, lang, hits,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY hits DESC, lang DESC
+                     ) AS rn
+              FROM s
+            )
+            SELECT doc_id,
+                   CASE WHEN hits > 0 THEN lang ELSE 'unknown' END AS lang_guess
+            FROM best WHERE rn = 1
         """,
         "lsh_recall_vs_bruteforce": f"""
             {_REPOS},
@@ -742,7 +1040,8 @@ def oracle_sql() -> dict[str, str]:
         "groups_containing_file": f"""
             {_FILES}
             SELECT filename AS filename_key,
-                   array_to_string(list_sort(list(path)), ',') AS members,
+                   array_to_string(list_slice(list_sort(list(path)), 1, 1000), ',')
+                     AS members,
                    count(*) AS file_count
             FROM files GROUP BY filename
             HAVING count(*) >= 2

@@ -1,0 +1,105 @@
+"""T3 — cancellation tokens (uncp src/systems/mod.rs:174-192 analogue).
+
+Cooperative: a cancel between stages stops the pipeline at the next
+stage boundary, keeps every finished checkpoint, and a later resume run
+completes from where the cancel landed (the autosave-parity property).
+In-flight: cancel() from another thread interrupts a running Spark job
+via job-group cancellation.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import pandas as pd
+import pytest
+
+from uncp_spark.plans.cancellation import CancellationToken, CancelledError
+from uncp_spark.plans.pipeline import DedupPipeline, StageSpec
+
+
+def test_precancelled_token_stops_before_any_stage(spark, repos_df, tmpdir_path):
+    token = CancellationToken()
+    token.cancel()
+    pipe = DedupPipeline(base_dir=tmpdir_path)
+    with pytest.raises(CancelledError):
+        pipe.run(spark, repos_df, input_token="fixture", cancel=token)
+    assert not os.path.exists(os.path.join(tmpdir_path, "files", "_manifest.json"))
+
+
+def test_cancel_mid_pipeline_keeps_checkpoints_and_resumes(
+    spark, repos_df, tmpdir_path
+):
+    pipe = DedupPipeline(base_dir=tmpdir_path)
+    token = CancellationToken()
+
+    # cancel lands while the "sigs" stage builds: files completes, sigs
+    # is the in-flight casualty, nothing downstream starts
+    stages = pipe.default_stages()
+    sigs_spec = stages[1]
+    orig_build = sigs_spec.build
+
+    def cancelling_build(spark_, ctx):
+        token._event.set()  # flag only — let this stage finish writing
+        return orig_build(spark_, ctx)
+
+    stages[1] = StageSpec(
+        sigs_spec.name, sigs_spec.deps, cancelling_build, sigs_spec.token_salt
+    )
+    pipe.stages = stages
+    with pytest.raises(CancelledError):
+        pipe.run(spark, repos_df, input_token="fixture", cancel=token)
+
+    done = {
+        name
+        for name in ["files", "sigs", "pairs", "edges", "labels", "clusters"]
+        if os.path.exists(os.path.join(tmpdir_path, name, "_manifest.json"))
+    }
+    assert done == {"files", "sigs"}
+
+    # resume with a fresh (uncancelled) token: completed stages skipped
+    pipe2 = DedupPipeline(base_dir=tmpdir_path)
+    out = pipe2.run(spark, repos_df, input_token="fixture")
+    flags = {s["stage"]: s["resumed"] for s in out["report"]["stages"]}
+    assert flags["files"] and flags["sigs"]
+    assert not flags["labels"] and not flags["clusters"]
+    assert out["clusters"].count() > 0
+
+
+def test_inflight_cancel_interrupts_running_job(spark):
+    token = CancellationToken(group_id="uncp-test-inflight")
+    token.bind(spark)
+
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def slow(x: pd.Series) -> pd.Series:
+        time.sleep(0.5)
+        return x
+
+    def fire():
+        # wait until the job is actually submitted (UDF setup can take
+        # seconds on a loaded host), then cancel its group
+        st = spark.sparkContext.statusTracker()
+        for _ in range(150):
+            if st.getActiveJobsIds():
+                break
+            time.sleep(0.2)
+        time.sleep(0.5)
+        token.cancel()
+
+    t = threading.Thread(target=fire)
+    t.start()
+    t0 = time.monotonic()
+    # 512 partitions x 0.5 s on 8 cores ≈ 32 s uncancelled
+    with pytest.raises(Exception):
+        spark.range(512, numPartitions=512).select(slow("id")).count()
+    elapsed = time.monotonic() - t0
+    t.join()
+    assert token.cancelled
+    assert elapsed < 20, f"cancel did not interrupt the job ({elapsed:.1f}s)"
+    # the session must stay usable after a group cancel
+    spark.sparkContext.setJobGroup("uncp-after", "post-cancel sanity")
+    assert spark.range(10).count() == 10

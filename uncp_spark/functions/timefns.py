@@ -15,8 +15,15 @@ from pyspark.sql import functions as F
 
 
 def ns_to_timestamp(col: Column) -> Column:
-    """i64 ns-epoch → timestamp (µs precision, truncating)."""
-    return F.timestamp_micros(F.floor(col / F.lit(1000)).cast("long"))
+    """i64 ns-epoch → timestamp (µs precision, truncating).
+
+    Integer-exact: ``col / 1000`` in double loses low bits above 2^53
+    (~1969-04 in ns-epoch!), so a 2024 timestamp round-trips 1 µs off
+    roughly every 2000th value. Decimal division + floor is exact over
+    the full i64 range."""
+    return F.timestamp_micros(
+        F.floor(col.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+    )
 
 
 def timestamp_to_ns(col: Column) -> Column:

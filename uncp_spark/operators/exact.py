@@ -26,9 +26,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _group_relation(files: DataFrame, key: str, out_key: str, min_count: int = 2) -> DataFrame:
+MAX_GROUP_MEMBERS = 1000
+
+
+def _group_relation(
+    files: DataFrame, key: str, out_key: str, min_count: int = 2,
+    max_members: int = MAX_GROUP_MEMBERS,
+) -> DataFrame:
+    """``file_paths`` holds at most ``max_members`` members (the first
+    ``max_members`` in path order); ``file_count``/``total_size`` always
+    cover the FULL group. At 100 TB a boilerplate hash shared by 10^6
+    files must not materialize a 10^6-element array in one aggregation
+    buffer — the cap is applied BEFORE collect_list (rank-within-group,
+    null past the cap), so the buffer is bounded; truncation is
+    detectable, not silent: file_count > size(file_paths)."""
+    w = Window.partitionBy(key).orderBy("path")
+    ranked = files.withColumn("_mrk", F.row_number().over(w))
     aggs = [
-        F.sort_array(F.collect_list("path")).alias("file_paths"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("_mrk") <= max_members, F.col("path"))
+            )
+        ).alias("file_paths"),
         F.count("*").alias("file_count"),
         F.sum("size").alias("total_size"),
     ]
@@ -36,7 +55,7 @@ def _group_relation(files: DataFrame, key: str, out_key: str, min_count: int = 2
         # F7: relation tables carry first_seen (i64 ns-epoch), matching
         # uncp's relation schemas (src/relations.rs:330,360,386)
         aggs.append(F.min("processed_at").alias("first_seen"))
-    agg = files.groupBy(F.col(key).alias(out_key)).agg(*aggs)
+    agg = ranked.groupBy(F.col(key).alias(out_key)).agg(*aggs)
     if min_count > 1:
         agg = agg.filter(F.col("file_count") >= min_count)
     return agg

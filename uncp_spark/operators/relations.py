@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 def groups_containing(groups: DataFrame, path: str,
                       members_col: str = "file_paths") -> DataFrame:
     """All group rows whose member list contains ``path`` (J4 semi form).
-    array_contains stays JVM-side; no explode needed for a point probe."""
+    array_contains stays JVM-side; no explode needed for a point probe.
+    Note: group tables cap ``file_paths`` at MAX_GROUP_MEMBERS (exact.py)
+    — for probes that must see past the cap, re-derive membership with a
+    semi-join on the files table instead of the preview array."""
     return groups.filter(F.array_contains(F.col(members_col), path))
 
 

@@ -1,0 +1,74 @@
+"""T3 — cooperative cancellation for pipeline runs.
+
+uncp threads a ``CancellationToken`` through every system and checks it
+between work batches (src/systems/mod.rs:174-192); a cancelled run
+loses at most one autosave interval. The Spark translation has two
+levers, both wrapped here:
+
+  cooperative   the pipeline checks the token between stages; a cancel
+                costs at most the in-flight stage, and because every
+                finished stage is checkpointed, a later resume() rerun
+                skips everything already done (the autosave analogue).
+  in-flight     the token binds a Spark job *group*; ``cancel()`` calls
+                ``SparkContext.cancelJobGroup``, which interrupts the
+                currently-running Spark jobs themselves (long stages
+                don't have to finish before the cancel lands).
+
+Thread-safe: ``cancel()`` may be called from any thread (a signal
+handler, a UI, a deadline watchdog).
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import SparkSession
+
+
+class CancelledError(RuntimeError):
+    """Raised at the next cooperative checkpoint after cancel()."""
+
+
+class CancellationToken:
+    def __init__(self, group_id: str = "uncp-pipeline") -> None:
+        self._event = threading.Event()
+        self._group_id = group_id
+        self._spark: SparkSession | None = None
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------ binding
+
+    def bind(self, spark: SparkSession) -> None:
+        """Attach this token's job group to the CURRENT thread's Spark
+        jobs so an in-flight cancel() can interrupt them. Call from the
+        thread that submits the work (job groups are thread-local in
+        Spark)."""
+        with self._lock:
+            self._spark = spark
+        spark.sparkContext.setJobGroup(
+            self._group_id, "uncp_spark cancellable pipeline", interruptOnCancel=True
+        )
+
+    # ------------------------------------------------------------- signal
+
+    def cancel(self) -> None:
+        """Request cancellation: flips the cooperative flag and, if
+        bound, cancels all in-flight Spark jobs in the token's group."""
+        self._event.set()
+        with self._lock:
+            spark = self._spark
+        if spark is not None:
+            try:
+                spark.sparkContext.cancelJobGroup(self._group_id)
+            except Exception:
+                pass  # context already stopped — the flag still stands
+
+    @property
+    def cancelled(self) -> bool:
+        return self._event.is_set()
+
+    def raise_if_cancelled(self) -> None:
+        if self._event.is_set():
+            raise CancelledError(
+                f"pipeline cancelled (job group {self._group_id!r})"
+            )

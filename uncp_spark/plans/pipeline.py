@@ -154,18 +154,29 @@ class DedupPipeline:
         input_token: str,
         resume: bool = True,
         register_sql_views: bool = True,
+        cancel=None,
     ) -> dict:
         """Run (or resume) the stage graph. Returns dict of output
-        DataFrames + stage metrics."""
+        DataFrames + stage metrics.
+
+        ``cancel``: optional ``plans.cancellation.CancellationToken``
+        (T3). Checked between stages (a cancel costs at most the
+        in-flight stage — every finished stage is already checkpointed,
+        so a later resume run skips it) and bound to a Spark job group
+        so ``cancel()`` interrupts in-flight jobs too."""
         t0 = time.monotonic()
         os.makedirs(self.base_dir, exist_ok=True)
         results: list[ckpt.StageResult] = []
         stages = self.stages if self.stages is not None else self.default_stages()
 
+        if cancel is not None:
+            cancel.bind(spark)
         ctx: dict = {"repos": repos, "cfg": self.cfg, "base_dir": self.base_dir}
         reserved = set(ctx) | {"report", "labeled"}
         tokens: dict[str, str] = {}
         for spec in stages:
+            if cancel is not None:
+                cancel.raise_if_cancelled()
             if spec.name in reserved:
                 raise ValueError(f"stage name {spec.name!r} is reserved")
             missing = [d for d in spec.deps if d not in tokens]
