@@ -39,8 +39,8 @@ from uncp_spark.operators.exact import (
 from uncp_spark.operators.ingest import ingest
 from uncp_spark.operators.lsh import candidate_pairs
 from uncp_spark.operators.priority import cluster_stats, priority_ranked
-from uncp_spark.operators.shingle import with_shingles
-from uncp_spark.operators.signatures import with_signatures
+
+from uncp_spark.operators.signatures import signature_table
 from uncp_spark.operators.verify import accept_edges, score_pairs
 
 CFG = SimilarityConfig()
@@ -53,10 +53,10 @@ def _files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sigs(files: DataFrame) -> DataFrame:
-    from uncp_spark.session import compute_repartition
+    from uncp_spark.session import ensure_parallelism
 
-    reps = compute_repartition(exact_representatives(files))
-    return with_signatures(with_shingles(reps, CFG), CFG).select(
+    reps = ensure_parallelism(exact_representatives(files))
+    return signature_table(reps, CFG).select(
         "file_id", "repo", "path", "lang", "size", "depth",
         "minhash", "simhash", "shingles", "n_shingles", "norm_text",
     )

@@ -39,10 +39,10 @@ from uncp_spark.operators.exact import (
 from uncp_spark.operators.ingest import ingest
 from uncp_spark.operators.lsh import candidate_pairs
 from uncp_spark.operators.priority import cluster_stats, priority_ranked
-from uncp_spark.operators.shingle import with_shingles
-from uncp_spark.operators.signatures import with_signatures
+
+from uncp_spark.operators.signatures import signature_table
 from uncp_spark.operators.verify import accept_edges, score_pairs
-from uncp_spark.session import compute_repartition, get_spark, warm_python_workers
+from uncp_spark.session import ensure_parallelism, get_spark, warm_python_workers
 
 CFG = SimilarityConfig()
 
@@ -154,8 +154,8 @@ def main() -> None:
             # Caching the fat table instead evicts/spills at amplify≥60
             # (~8 GB shingles) and turns every downstream stage into
             # serialized disk churn that extra cores cannot speed up.
-            reps = compute_repartition(exact_representatives(files))
-            s = with_signatures(with_shingles(reps, CFG), CFG).select(
+            reps = ensure_parallelism(exact_representatives(files))
+            s = signature_table(reps, CFG).select(
                 "file_id", "repo", "path", "lang", "size", "depth",
                 "minhash", "simhash", "shingles", "n_shingles",
             )

@@ -25,8 +25,8 @@ from uncp_spark.operators.components import connected_components, label_all
 from uncp_spark.operators.exact import exact_cluster_edges, exact_clusters, exact_representatives
 from uncp_spark.operators.ingest import ingest
 from uncp_spark.operators.lsh import candidate_pairs
-from uncp_spark.operators.shingle import with_shingles
-from uncp_spark.operators.signatures import with_signatures
+
+from uncp_spark.operators.signatures import signature_table
 from uncp_spark.operators.verify import accept_edges, score_pairs
 
 TEST_DATA = "/root/reference/test_data"
@@ -66,7 +66,7 @@ def test_exact_tier_matches_reference_fixture(spark, ref_repos):
 
 def test_fuzzy_tier_coclusters_near_variants(spark, ref_repos):
     files = ingest(ref_repos)
-    sigs = with_signatures(with_shingles(exact_representatives(files), CFG), CFG).select(
+    sigs = signature_table(exact_representatives(files), CFG).select(
         "file_id", "minhash", "simhash", "shingles"
     )
     pairs, _ = candidate_pairs(sigs, CFG)

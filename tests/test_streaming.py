@@ -1,0 +1,165 @@
+"""Structured Streaming ingest: drain-equivalence + watermark contract.
+
+The streaming path must equal the batch path on the same data: dropping
+the corpus as K snapshot files and draining with Trigger.AvailableNow
+yields exactly the state a single batch ingest+keep-last produces.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from uncp_spark.operators.dedup import dedup_keep_last
+from uncp_spark.operators.ingest import ingest
+from uncp_spark.streaming.stream_ingest import (
+    run_stream_ingest,
+    windowed_event_counts,
+)
+
+
+def _mk_snapshot(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+
+def test_stream_ingest_equals_batch(spark, tmp_path):
+    drop_dir = str(tmp_path / "drops")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(drop_dir)
+
+    snap1 = [
+        ("org/a", "src/x.py", "c1", "py", "def f(): return 1"),
+        ("org/a", "src/y.py", "c1", "py", "def g(): return 2"),
+    ]
+    # snap2 updates x.py (same path, new content) and adds z.py
+    snap2 = [
+        ("org/a", "src/x.py", "c2", "py", "def f(): return 42"),
+        ("org/b", "lib/z.py", "c1", "py", "def h(): return 3"),
+    ]
+    import shutil
+
+    _mk_snapshot(spark, snap1).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "tmp1")
+    )
+    _mk_snapshot(spark, snap2).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "tmp2")
+    )
+    for i, src in enumerate((str(tmp_path / "tmp1"), str(tmp_path / "tmp2"))):
+        part = [f for f in os.listdir(src) if f.endswith(".parquet")][0]
+        dst = os.path.join(drop_dir, f"s{i}.parquet")
+        shutil.copy(os.path.join(src, part), dst)
+        # pin mtime: the file source orders by modification time, and
+        # maxFilesPerTrigger=1 then makes batch order == drop order
+        os.utime(dst, (1700000000 + i, 1700000000 + i))
+
+    q = run_stream_ingest(spark, drop_dir, state_dir, ckpt,
+                          available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(os.path.join(state_dir, "files_state.parquet"))
+    got = {
+        (r.repo, r.path): r.sha256
+        for r in state.select("repo", "path", "sha256").collect()
+    }
+
+    batch = ingest(_mk_snapshot(spark, snap1 + snap2))
+    expected_df = dedup_keep_last(
+        batch.withColumn(
+            "batch_id", F.when(F.col("commit") == "c2", 1).otherwise(0)
+        ),
+        ["repo", "path"],
+        [F.col("batch_id")],
+    )
+    expected = {
+        (r.repo, r.path): r.sha256
+        for r in expected_df.select("repo", "path", "sha256").collect()
+    }
+    assert got == expected
+    assert len(got) == 3  # x.py updated in place, not duplicated
+
+
+def test_stream_ingest_resumes_from_checkpoint(spark, tmp_path):
+    """New drops after a drain are picked up by a restarted query; rows
+    already ingested are not re-read (source offsets are checkpointed)."""
+    drop_dir = str(tmp_path / "drops")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(drop_dir)
+    import shutil
+
+    def drop(name, rows):
+        src = str(tmp_path / ("tmp_" + name))
+        _mk_snapshot(spark, rows).coalesce(1).write.mode("overwrite").parquet(src)
+        part = [f for f in os.listdir(src) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(src, part), os.path.join(drop_dir, name + ".parquet"))
+
+    drop("a", [("o/r", "f1.txt", "c1", "en", "hello world")])
+    q = run_stream_ingest(spark, drop_dir, state_dir, ckpt,
+                          available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    drop("b", [("o/r", "f2.txt", "c1", "en", "more text")])
+    q2 = run_stream_ingest(spark, drop_dir, state_dir, ckpt,
+                           available_now=True, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+
+    state = spark.read.parquet(os.path.join(state_dir, "files_state.parquet"))
+    rows = state.select("path", "batch_id").collect()
+    assert {r.path for r in rows} == {"f1.txt", "f2.txt"}
+    # second drain continued the batch counter — proof the offsets log
+    # survived the restart rather than replaying drop "a"
+    assert {r.batch_id for r in rows} == {0, 1}
+
+
+def test_windowed_event_counts_batch_semantics(spark):
+    """The windowed agg runs identically on a batch frame (Spark shares
+    the operator); window boundaries + sums are checked exactly."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2026, 1, 1, 10, 5), "click", 1.0),
+        (dt.datetime(2026, 1, 1, 10, 55), "click", 2.0),
+        (dt.datetime(2026, 1, 1, 11, 5), "click", 4.0),
+        (dt.datetime(2026, 1, 1, 10, 30), "view", 8.0),
+    ]
+    events = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {
+        (r.window_start.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_event_counts(events, "1 hour", "2 hours").collect()
+    }
+    assert out == {
+        (10, "click"): (2, 3.0),
+        (11, "click"): (1, 4.0),
+        (10, "view"): (1, 8.0),
+    }
+
+
+def test_windowed_event_counts_is_streamable(spark, tmp_path):
+    """The same agg must be accepted by the streaming planner with the
+    watermark bounding state (append mode requires it)."""
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [("2026-01-01 10:05:00", "click", 1.0)],
+        "ts_s string, event_type string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value") \
+     .write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double") \
+        .parquet(src)
+    agg = windowed_event_counts(stream, "1 hour", "2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wec_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-finalized windows; with a single
+    # batch the watermark hasn't advanced past the window yet, so the
+    # contract here is: the plan is streamable and the query completes.
+    assert not q.isActive

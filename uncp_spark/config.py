@@ -34,6 +34,15 @@ class SimilarityConfig:
     # --- shingling (F14) ---
     shingle_k: int = 5          # tokens per shingle
     char_shingle_k: int = 9     # char k-grams for files shorter than shingle_k tokens
+    # "fused": k-token windowing + distinct + MinHash + SimHash in one
+    #          numpy pass (operators/signatures.with_signatures_fused);
+    #          the JVM stops at per-token xxhash64. ~2-3x faster than
+    #          "expr" — the per-window slice/hash/distinct expressions
+    #          were the measured hot spot of the signature stage.
+    # "expr":  everything up to the shingle set as JVM expressions
+    #          (operators/shingle.with_shingles). Same n_shingles, same
+    #          set semantics; shingle id VALUES differ between impls.
+    shingle_impl: str = "fused"
 
     # --- MinHash (F15) ---
     num_perm: int = 128

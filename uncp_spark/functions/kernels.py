@@ -202,3 +202,61 @@ def simhash_batch(token_hash_arrays: list[np.ndarray]) -> np.ndarray:
 def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     """Signature-estimated Jaccard — fraction of agreeing positions."""
     return float(np.mean(np.asarray(sig_a) == np.asarray(sig_b)))
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (Steele/Lea/Flood 2014, public domain
+    construction) — bijective uint64 mix, vectorized."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def shingle_weights(k: int, seed: int) -> np.ndarray:
+    """Deterministic odd uint64 position weights for the rolling
+    k-token shingle id (odd ⇒ invertible mod 2^64, so each position
+    contributes a bijection of its token hash)."""
+    rng = np.random.RandomState(seed ^ 0x5317)
+    w = rng.randint(0, 1 << 62, size=k).astype(np.uint64)
+    return (w << np.uint64(1)) | np.uint64(1)
+
+
+def shingle_ids_batch(
+    token_hash_arrays: list[np.ndarray], k: int, weights: np.ndarray
+) -> list[np.ndarray]:
+    """Distinct k-token-window shingle ids per row, fully vectorized.
+
+    id_i = splitmix64( Σ_j  w_j · th[i+j] )  (wraparound uint64): five
+    shifted multiply-adds over the token-hash array + one mix — no
+    per-window array slicing. Equivalent *as a set key* to hashing the
+    window (position-weighted, so permuted windows differ; collision
+    odds ~ n²/2^64). Rows with fewer than k tokens return an empty
+    array — callers route those through the char-gram fallback.
+
+    The batch is processed as ONE flat concatenated array (windows
+    crossing row boundaries are sliced away afterwards), so the numpy
+    cost is 6 ufunc passes per batch regardless of row count.
+    """
+    n_rows = len(token_hash_arrays)
+    lens = np.fromiter(
+        (len(s) for s in token_hash_arrays), dtype=np.int64, count=n_rows
+    )
+    out: list[np.ndarray] = [np.empty(0, dtype=np.int64)] * n_rows
+    ok = np.flatnonzero(lens >= k)
+    if ok.size == 0:
+        return out
+    flat = np.concatenate(
+        [np.asarray(token_hash_arrays[i], dtype=np.int64) for i in ok]
+    ).view(np.uint64)
+    n = flat.size
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc += weights[j] * flat[j : n - k + 1 + j]
+    ids = _splitmix64(acc).view(np.int64)
+    starts = np.zeros(ok.size, dtype=np.int64)
+    np.cumsum(lens[ok][:-1], out=starts[1:])
+    for pos, i in enumerate(ok):
+        lo = int(starts[pos])
+        out[i] = np.unique(ids[lo : lo + int(lens[i]) - k + 1])
+    return out

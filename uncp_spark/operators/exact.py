@@ -82,9 +82,13 @@ def exact_cluster_edges(files: DataFrame) -> DataFrame:
     sha256 group — a star, not a quadratic clique, so a boilerplate blob
     shared by 10^6 files yields 10^6-1 edges, not 10^12.
     """
-    reps = files.groupBy("sha256").agg(F.min("file_id").alias("rep_id"))
+    ids = files.select("file_id", "sha256")
+    reps = ids.groupBy("sha256").agg(F.min("file_id").alias("rep_id"))
     return (
-        files.join(reps, "sha256")
+        # skinny join: only (file_id, sha256) rows shuffle — joining the
+        # full files table here would drag every content byte through
+        # the exchange for a 2-column output
+        ids.join(reps, "sha256")
         .filter(F.col("file_id") != F.col("rep_id"))
         .select(
             F.least("file_id", "rep_id").alias("src"),
@@ -100,18 +104,23 @@ def exact_representatives(files: DataFrame) -> DataFrame:
     run over representatives only, so N exact copies cost one signature
     and boilerplate cannot create hot LSH buckets by itself. The scale
     lever: at 10^12 files with heavy duplication this shrinks the
-    signature stage by the duplication factor."""
-    w_cols = ["file_id", "repo", "path", "lang", "content", "sha256", "size", "depth"]
-    return (
-        # null content (sentinel-hashed singletons from ingest) never
-        # enters the fuzzy tier: no shingles to compare, and empty
-        # signatures would spuriously bucket unrelated unreadable files
-        files.filter(F.col("content").isNotNull())
-        .select(*w_cols)
-        .withColumn(
-            "_rn",
-            F.row_number().over(Window.partitionBy("sha256").orderBy("file_id")),
-        )
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    signature stage by the duplication factor.
+
+    Shuffle discipline: the representative CHOICE (min file_id per
+    sha256) aggregates a 2-column projection, so only (sha256, file_id)
+    ever crosses the exchange; the fat content column comes back via a
+    semi-join that AQE turns into a broadcast when the rep-id set is
+    small (always, relative to the corpus) and a sort-merge at most once
+    otherwise. The previous form — a row_number window over the full
+    row — shuffled every content byte to pick ids (measured as a ~25 s
+    serial disk component on the bench host), and its callers then paid
+    a SECOND full-content exchange to re-spread the UDF stage."""
+    nonnull = files.filter(F.col("content").isNotNull())
+    rep_ids = (
+        nonnull.select("file_id", "sha256")
+        .groupBy("sha256")
+        .agg(F.min("file_id").alias("file_id"))
+        .select("file_id")
     )
+    w_cols = ["file_id", "repo", "path", "lang", "content", "sha256", "size", "depth"]
+    return nonnull.select(*w_cols).join(rep_ids, "file_id", "left_semi")

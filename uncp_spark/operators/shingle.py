@@ -51,6 +51,34 @@ def _char_shingle_hashes(norm: Column, k: int) -> Column:
     )
 
 
+def with_token_hashes(
+    df: DataFrame,
+    cfg: SimilarityConfig,
+    content_col: str = "content",
+) -> DataFrame:
+    """Minimal JVM prelude for the FUSED signature stage: ``norm_text``,
+    ``token_hashes`` and (short rows only) ``char_hashes``.
+
+    The k-token windowing, distinct, MinHash and SimHash all happen in
+    one numpy pass inside the fused pandas UDF
+    (operators/signatures.with_signatures_fused) — per-window JVM work
+    (slice alloc + xxhash64 + array_distinct) measured as the
+    non-scaling hot spot of the signature stage, is gone entirely.
+    ``char_hashes`` materializes only for rows under ``shingle_k``
+    tokens (the fallback population, typically ≪1%)."""
+    norm = normalize_content(F.col(content_col), cfg)
+    df = df.withColumn("norm_text", norm)
+    tokens = F.split(F.col("norm_text"), " ")
+    df = df.withColumn("token_hashes", F.transform(tokens, lambda t: F.xxhash64(t)))
+    return df.withColumn(
+        "char_hashes",
+        F.when(
+            F.size("token_hashes") < cfg.shingle_k,
+            _char_shingle_hashes(F.col("norm_text"), cfg.char_shingle_k),
+        ),
+    )
+
+
 def with_shingles(
     df: DataFrame,
     cfg: SimilarityConfig,

@@ -40,11 +40,11 @@ from uncp_spark.operators.components import connected_components, label_all
 from uncp_spark.operators.exact import exact_cluster_edges, exact_representatives
 from uncp_spark.operators.ingest import ingest
 from uncp_spark.operators.lsh import candidate_pairs
-from uncp_spark.operators.signatures import with_signatures
+from uncp_spark.operators.signatures import signature_table
 from uncp_spark.operators.priority import cluster_stats, priority_ranked, register_views
-from uncp_spark.operators.shingle import with_shingles
+
 from uncp_spark.plans.registry import get_scorer
-from uncp_spark.session import compute_repartition
+from uncp_spark.session import ensure_parallelism
 from uncp_spark.sources import checkpoint as ckpt
 
 SIG_COLS = ["file_id", "repo", "path", "lang", "size", "depth",
@@ -83,8 +83,8 @@ class DedupPipeline:
             return ingest(ctx["repos"])
 
         def build_sigs(spark, ctx):
-            reps = compute_repartition(exact_representatives(ctx["files"]))
-            return with_signatures(with_shingles(reps, cfg), cfg).select(*SIG_COLS)
+            reps = ensure_parallelism(exact_representatives(ctx["files"]))
+            return signature_table(reps, cfg).select(*SIG_COLS)
 
         def build_pairs(spark, ctx):
             pairs, hot = candidate_pairs(ctx["sigs"], cfg)

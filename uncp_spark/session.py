@@ -93,6 +93,20 @@ def compute_repartition(df, multiplier: int = 2):
     return df.repartition(sc.defaultParallelism * multiplier)
 
 
+def ensure_parallelism(df, multiplier: int = 2):
+    """compute_repartition, but only when the input is actually starved
+    of partitions. A full exchange of a content-bearing table costs a
+    fat shuffle (measured as a serial disk component on the bench host);
+    when the upstream scan already has >= cores partitions — a parquet
+    checkpoint of any real size, or an explicitly-partitioned source —
+    that exchange buys nothing. Partition count here is the planned
+    count (file splits / prior exchange), known without running a job."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism * multiplier)
+
+
 def warm_python_workers(spark: SparkSession, n: int | None = None) -> None:
     """Spin up (and keep, via spark.python.worker.reuse) one Python UDF
     worker per core with numpy/pandas imported and kernel buffers
