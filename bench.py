@@ -128,7 +128,7 @@ def main() -> None:
         return out
 
     repos = bench_corpus(spark, sf_dir, amplify, content_repeat)
-    passes = int(os.environ.get("BENCH_PASSES", "1"))
+    passes = int(os.environ.get("BENCH_PASSES", "2"))
     cold_timings: dict[str, float] = {}
     ckpt_dir = tempfile.mkdtemp(prefix="uncp_bench_")
     sig_path = os.path.join(ckpt_dir, "sigs.parquet")
