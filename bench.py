@@ -203,10 +203,9 @@ def main() -> None:
                 df.unpersist(blocking=True)
             spark.catalog.clearCache()
 
-    pipeline_sec = sum(
-        timings[k] for k in ["ingest", "exact_tier", "signatures", "lsh_pairs",
-                             "verify_edges", "connected_components", "priority"]
-    )
+    PIPELINE_KEYS = ["ingest", "exact_tier", "signatures", "lsh_pairs",
+                     "verify_edges", "connected_components", "priority"]
+    pipeline_sec = sum(timings[k] for k in PIPELINE_KEYS)
 
     # --- auxiliary operator queries on driver tables
     docs_path = f"{sf_dir}/documents.parquet"
@@ -237,10 +236,22 @@ def main() -> None:
     timed("ann_topk", q_ann)
 
     total = round(sum(timings.values()), 3)
+    cold_pipeline_sec = (
+        round(sum(cold_timings[k] for k in PIPELINE_KEYS), 3)
+        if cold_timings else None
+    )
     result = {
         "metric": "dedup_pipeline_e2e",
         "value": pipeline_sec,
         "unit": "sec",
+        # headline `value`/`queries`/`files_per_sec` are the WARM pass
+        # (steady-state executors); the cold pass is reported alongside,
+        # not hidden — cold_pipeline_sec + per-stage cold_queries.
+        "headline_pass": "warm" if passes > 1 else "cold",
+        "cold_pipeline_sec": cold_pipeline_sec,
+        "cold_files_per_sec": (
+            round(n_files / cold_pipeline_sec, 1) if cold_pipeline_sec else None
+        ),
         "queries": timings,
         "sf": sf,
         "total_sec": total,

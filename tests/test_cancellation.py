@@ -80,22 +80,27 @@ def test_inflight_cancel_interrupts_running_job(spark):
         return x
 
     def fire():
-        # wait until the job is actually submitted (UDF setup can take
-        # seconds on a loaded host), then cancel its group
+        # Wait for a job in THIS token's group specifically — polling
+        # getActiveJobsIds() can latch a stale/fast job from an earlier
+        # test in the shared session, firing the cancel before the probe
+        # job exists (the round-2 in-suite flake).
         st = spark.sparkContext.statusTracker()
-        for _ in range(150):
-            if st.getActiveJobsIds():
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            if st.getJobIdsForGroup("uncp-test-inflight"):
                 break
-            time.sleep(0.2)
-        time.sleep(0.5)
+            time.sleep(0.1)
         token.cancel()
 
     t = threading.Thread(target=fire)
     t.start()
     t0 = time.monotonic()
-    # 512 partitions x 0.5 s on 8 cores ≈ 32 s uncancelled
+    # The UDF column is AGGREGATED so Catalyst cannot prune it away
+    # (`.select(slow(...)).count()` drops the column and can finish
+    # before the cancel lands). 512 partitions x 0.5 s >= 8 s on 32
+    # cores — slow enough that the group-scoped cancel always wins.
     with pytest.raises(Exception):
-        spark.range(512, numPartitions=512).select(slow("id")).count()
+        spark.range(512, numPartitions=512).agg(F.sum(slow("id"))).collect()
     elapsed = time.monotonic() - t0
     t.join()
     assert token.cancelled

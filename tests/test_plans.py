@@ -100,6 +100,88 @@ def test_lsh_pipeline_has_no_cartesian_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def _node_blocks(plan: str, names: tuple[str, ...]) -> list[str]:
+    """Split a formatted explain's node-detail section into per-node
+    blocks and return those whose header matches one of ``names``."""
+    import re
+
+    blocks: list[str] = []
+    cur: list[str] | None = None
+    want = False
+    for line in plan.splitlines():
+        m = re.match(r"\(\d+\) (\w+)", line.strip())
+        if m:
+            if cur is not None and want:
+                blocks.append("\n".join(cur))
+            cur = [line]
+            want = m.group(1) in names
+        elif cur is not None:
+            cur.append(line)
+    if cur is not None and want:
+        blocks.append("\n".join(cur))
+    return blocks
+
+
+def test_relation_windows_exclude_content(spark):
+    """Relation-table aggregations (hash/name/size groups, dup-in-one-
+    dim-unique-in-other) must window over a skinny projection: a window
+    hash-partitions ENTIRE input rows, so a window whose input schema
+    carries `content` re-shuffles the full corpus bytes just to produce
+    a (key, path-list, count, size) relation — invisible at sf0.01,
+    fatal at 100 TB."""
+    from uncp_spark.fixtures import repos_from_documents
+    from uncp_spark.operators.exact import (
+        exact_clusters, same_name_groups, same_size_groups,
+    )
+    from uncp_spark.operators.ingest import ingest
+    from uncp_spark.operators.relations import dup_in_one_dim_unique_in_other
+
+    files = ingest(repos_from_documents(spark, SF_DIR))
+    for df in (
+        exact_clusters(files),
+        same_name_groups(files),
+        same_size_groups(files),
+        dup_in_one_dim_unique_in_other(files, "filename", "sha256"),
+    ):
+        plan = _fmt(df)
+        windows = _node_blocks(plan, ("Window", "WindowGroupLimit"))
+        assert windows, "expected a window in the relation plan"
+        for block in windows:
+            assert "content#" not in block, block
+
+
+def test_pair_expansion_is_two_step_explode(spark):
+    """Bucket pair expansion must be two nested explodes (peak per-row
+    memory O(n)) — not flatten(transform(...)), which materializes the
+    whole O(n²) pair array in ONE JVM row (~2M structs at cap=2000, a
+    spike AQE cannot split). Verified at a cap-SIZED bucket (the largest
+    full expansion allowed) plus one-past-cap (the hot-star path)."""
+    from uncp_spark.operators.lsh import candidate_pairs
+
+    cap = 40
+    cfg = SimilarityConfig(hot_band_cap=cap)
+    sig = [0] * cfg.num_perm
+    sigs = spark.createDataFrame(
+        [(i, sig) for i in range(cap)], "file_id long, minhash array<bigint>"
+    )
+    pairs, hot = candidate_pairs(sigs, cfg)
+    plan = _fmt(pairs).replace(" ", "")
+    assert "flatten(transform(" not in plan
+    rows = pairs.collect()
+    assert len(rows) == cap * (cap - 1) // 2
+    assert all(r.src < r.dst and not r.from_hot_band for r in rows)
+    assert hot.count() == 0
+
+    # one past the cap: linear star to the min id, flagged + reported
+    sigs2 = spark.createDataFrame(
+        [(i, sig) for i in range(cap + 1)], "file_id long, minhash array<bigint>"
+    )
+    pairs2, hot2 = candidate_pairs(sigs2, cfg)
+    assert pairs2.count() == cap
+    assert pairs2.filter(~F.col("from_hot_band")).count() == 0
+    assert hot2.count() == cfg.bands
+
+
 def test_ingest_stays_in_codegen(spark):
     """The ingest stage (sha256/size/depth/...) is pure JVM expressions:
     no Python evals anywhere in its plan."""

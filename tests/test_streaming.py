@@ -115,6 +115,52 @@ def test_stream_ingest_resumes_from_checkpoint(spark, tmp_path):
     assert {r.batch_id for r in rows} == {0, 1}
 
 
+def test_stream_ingest_recovers_mid_swap_crash(spark, tmp_path):
+    """Crash window between the two renames of the state swap: state dir
+    is GONE but state.old is intact. Without recovery the next batch's
+    _SUCCESS probe would treat state as empty and silently drop every
+    prior merge (their source offsets are already committed, so they are
+    never replayed). recover_state must restore .old, and the next drain
+    must merge on top of the restored state."""
+    import shutil
+
+    from uncp_spark.streaming.stream_ingest import recover_state
+
+    drop_dir = str(tmp_path / "drops")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(drop_dir)
+
+    def drop(name, rows):
+        src = str(tmp_path / ("tmp_" + name))
+        _mk_snapshot(spark, rows).coalesce(1).write.mode("overwrite").parquet(src)
+        part = [f for f in os.listdir(src) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(src, part), os.path.join(drop_dir, name + ".parquet"))
+
+    state_path = os.path.join(state_dir, "files_state.parquet")
+    drop("a", [("o/r", "f1.txt", "c1", "en", "hello world")])
+    run_stream_ingest(spark, drop_dir, state_dir, ckpt,
+                      available_now=True).awaitTermination(120)
+
+    # simulate the mid-swap crash: state renamed to .old, tmp never landed
+    os.rename(state_path, state_path + ".old")
+    assert not os.path.exists(state_path)
+
+    drop("b", [("o/r", "f2.txt", "c1", "en", "more text")])
+    run_stream_ingest(spark, drop_dir, state_dir, ckpt,
+                      available_now=True).awaitTermination(120)
+
+    state = spark.read.parquet(state_path)
+    assert {r.path for r in state.select("path").collect()} == {"f1.txt", "f2.txt"}
+    assert not os.path.exists(state_path + ".old")
+
+    # the completed-swap crash window (both dirs valid) just drops .old
+    shutil.copytree(state_path, state_path + ".old")
+    recover_state(state_path)
+    assert not os.path.exists(state_path + ".old")
+    assert os.path.exists(os.path.join(state_path, "_SUCCESS"))
+
+
 def test_windowed_event_counts_batch_semantics(spark):
     """The windowed agg runs identically on a batch frame (Spark shares
     the operator); window boundaries + sums are checked exactly."""

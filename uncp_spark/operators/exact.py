@@ -39,9 +39,20 @@ def _group_relation(
     files must not materialize a 10^6-element array in one aggregation
     buffer — the cap is applied BEFORE collect_list (rank-within-group,
     null past the cap), so the buffer is bounded; truncation is
-    detectable, not silent: file_count > size(file_paths)."""
+    detectable, not silent: file_count > size(file_paths).
+
+    Shuffle discipline: the window and the groupBy only ever see the
+    columns the output needs — (key, path, size[, processed_at]).
+    Windows hash-partition ENTIRE rows, so running row_number over the
+    full files frame would drag every content byte through the exchange
+    to produce a path-list relation (same class of bug fixed in
+    exact_representatives below, with the measured ~25 s rationale)."""
+    needed = [key, "path", "size"]
+    if "processed_at" in files.columns:
+        needed.append("processed_at")
+    skinny = files.select(*dict.fromkeys(needed))  # key may equal "size"
     w = Window.partitionBy(key).orderBy("path")
-    ranked = files.withColumn("_mrk", F.row_number().over(w))
+    ranked = skinny.withColumn("_mrk", F.row_number().over(w))
     aggs = [
         F.sort_array(
             F.collect_list(

@@ -43,32 +43,54 @@ def band_keys(sigs: DataFrame, cfg: SimilarityConfig,
     )
 
 
-def _pairs_from_sorted_ids(ids_col):
+def _explode_pairs(bucket_df: DataFrame, ids_col: str = "ids") -> DataFrame:
     """JVM-side expansion of all (ids[i], ids[j]) i<j pairs from a sorted
-    id array: flatten(transform(...)) — no Python, no self-join."""
-    n = F.size(ids_col)
-    return F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.slice(ids_col, i + 1, n - i),
-                lambda y: F.struct(
-                    F.element_at(ids_col, i).alias("src"), y.alias("dst")
-                ),
-            ),
+    id array → (src, dst) rows. No Python, no self-join.
+
+    Peak-memory shape: TWO nested explodes, not one flatten. A single
+    flatten(transform(...)) materializes the entire O(n²) pair array in
+    ONE JVM row before its explode — at hot_band_cap=2000 that is ~2M
+    structs (~32 MB+) in a single row, a per-row spike AQE cannot split.
+    Exploding the anchor index ``i`` first and slicing per-``i`` keeps
+    peak per-row memory O(n): each intermediate row holds one id plus
+    one suffix slice of the array."""
+    n = F.size(F.col(ids_col))
+    return (
+        bucket_df.select(
+            F.col(ids_col),
+            F.explode(F.sequence(F.lit(1), n - 1)).alias("_i"),
+        )
+        .select(
+            F.element_at(F.col(ids_col), F.col("_i")).alias("src"),
+            F.explode(
+                F.slice(
+                    F.col(ids_col),
+                    F.col("_i") + 1,
+                    F.size(F.col(ids_col)) - F.col("_i"),
+                )
+            ).alias("dst"),
         )
     )
 
 
 def candidate_pairs(
-    sigs: DataFrame, cfg: SimilarityConfig, id_col: str = "file_id"
+    sigs: DataFrame | None,
+    cfg: SimilarityConfig,
+    id_col: str = "file_id",
+    bands: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (pairs(src < dst), hot_bucket_report).
 
     pairs carries ``from_hot_band`` so downstream metrics can separate
     full-fidelity candidates from degraded hot-bucket stars.
+
+    ``bands``: optional precomputed/persisted band-key table
+    (file_id, band, band_hash) — the incremental path restricts this to
+    buckets touched by a delta, and the batch pipeline passes its
+    checkpointed band table so band keys are computed once per corpus.
+    When given, ``sigs`` is unused (may be None).
     """
-    bk = band_keys(sigs, cfg, id_col=id_col)
+    bk = bands if bands is not None else band_keys(sigs, cfg, id_col=id_col)
     raw_buckets = (
         bk.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("file_id")).alias("ids"))
@@ -90,12 +112,8 @@ def candidate_pairs(
         F.col("bucket_size") > cfg.hot_band_cap
     ).select("band", "band_hash", "bucket_size")
 
-    normal_pairs = normal.select(
-        F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("pr")
-    ).select(
-        F.col("pr.src").alias("src"),
-        F.col("pr.dst").alias("dst"),
-        F.lit(False).alias("from_hot_band"),
+    normal_pairs = _explode_pairs(normal.select("ids")).select(
+        "src", "dst", F.lit(False).alias("from_hot_band")
     )
     # hot buckets: linear star to the min id instead of the quadratic clique
     hot_pairs = hot.select(

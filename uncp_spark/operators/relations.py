@@ -37,16 +37,25 @@ def dup_in_one_dim_unique_in_other(
     — e.g. same filename in many repos (dup) with distinct content
     (unique): the 'same name, different content' relation.
 
-    Two windowed counts, zero joins: count per key via Window is one
-    shuffle each and keeps every file row intact.
+    Shuffle discipline: windows hash-partition ENTIRE rows, so counting
+    over the full files frame would shuffle every content byte TWICE to
+    compute two integers per row. Instead the two windowed counts run
+    over a 2-column projection (dup_key, unique_key) and the surviving
+    unique_key values semi-join back — valid because a survivor has
+    ``_n_uni == 1``, so its unique_key maps to exactly one file row.
+    AQE broadcasts the key set when small; even the sort-merge worst
+    case is ONE full-row exchange instead of two. (Null unique keys are
+    excluded — a null key is not meaningfully "unique".)
     """
     from pyspark.sql import Window
 
     w_dup = Window.partitionBy(dup_key)
     w_uni = Window.partitionBy(unique_key)
-    return (
-        files.withColumn("_n_dup", F.count("*").over(w_dup))
+    keep_keys = (
+        files.select(dup_key, unique_key)
+        .withColumn("_n_dup", F.count("*").over(w_dup))
         .withColumn("_n_uni", F.count("*").over(w_uni))
         .filter((F.col("_n_dup") >= 2) & (F.col("_n_uni") == 1))
-        .drop("_n_dup", "_n_uni")
+        .select(unique_key)
     )
+    return files.join(keep_keys, unique_key, "left_semi")

@@ -137,7 +137,19 @@ def accept_edges(scored: DataFrame, cfg: SimilarityConfig) -> DataFrame:
     ``jaccard`` (exact, residual-phase only) outranks the estimate: a
     pair whose true Jaccard clears the threshold is an edge even when
     the 128-perm estimate undershot — acceptance is exact wherever the
-    exact value was computed."""
+    exact value was computed.
+
+    The guarantee is therefore RECALL-ONLY at the Jaccard threshold:
+    every pair with true J >= threshold that reaches scoring is accepted
+    (estimate-undershoot is repaired by the exact ride-along), but a
+    phase-1 winner whose estimate OVERSHOT (est >= threshold, true J
+    below it) is accepted without ever computing the exact value —
+    precision at the boundary stays estimate-bound (σ ≈ 0.04 at J=0.7).
+    That asymmetry is deliberate: computing exact Jaccard for phase-1
+    winners would drag the fat shingle arrays into the winners' join for
+    no recall gain; near-dup dedup pipelines bound FALSE NEGATIVES (a
+    missed dup survives forever), while a borderline false positive
+    merely groups two ~0.68-similar files for human review."""
     has_jaccard = "jaccard" in scored.columns
     exact_ok = (
         (F.col("jaccard") >= cfg.jaccard_threshold)

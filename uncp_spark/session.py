@@ -95,16 +95,35 @@ def compute_repartition(df, multiplier: int = 2):
 
 def ensure_parallelism(df, multiplier: int = 2):
     """compute_repartition, but only when the input is actually starved
-    of partitions. A full exchange of a content-bearing table costs a
-    fat shuffle (measured as a serial disk component on the bench host);
-    when the upstream scan already has >= cores partitions — a parquet
-    checkpoint of any real size, or an explicitly-partitioned source —
-    that exchange buys nothing. Partition count here is the planned
-    count (file splits / prior exchange), known without running a job."""
+    of partitions — decided by PLAN INSPECTION only, never by running a
+    job. (The previous form called ``df.rdd.getNumPartitions()``, which
+    under AQE materializes the plan's shuffle stages by submitting real
+    jobs — the exact_representatives groupBy/semi-join executed eagerly
+    here and AGAIN at the downstream action, doubling that work every
+    run.)
+
+      - Plan already contains a shuffle-inducing operator (join /
+        aggregate / sort / window / repartition): downstream parallelism
+        is governed by spark.sql.shuffle.partitions + AQE coalescing
+        (parallelismFirst in get_spark), sized to >= 2x cores — leave
+        the plan alone.
+      - Narrow plan over a file scan: the scan's split count is bounded
+        above by its file count, and our checkpoints are written from
+        >= 2x-core-partitioned frames, so enough files => enough splits.
+      - In-memory/local source (no files, no shuffle): repartition
+        unconditionally — small fixture frames where one cheap exchange
+        is noise.
+    """
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+    target = sc.defaultParallelism
+    # optimizedPlan() runs analysis+optimization only — no Spark jobs
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(tok in logical for tok in
+           ("Join", "Aggregate", "Sort", "Window", "Repartition")):
         return df
-    return df.repartition(sc.defaultParallelism * multiplier)
+    if len(df.inputFiles()) >= target:
+        return df
+    return df.repartition(target * multiplier)
 
 
 def warm_python_workers(spark: SparkSession, n: int | None = None) -> None:

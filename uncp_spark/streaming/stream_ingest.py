@@ -58,6 +58,35 @@ def stream_scan(
     )
 
 
+def recover_state(state_path: str) -> None:
+    """Heal the two-rename state swap after a crash (idempotent; called
+    at the top of every merge_batch).
+
+    The swap is: write tmp → rename state→state.old → rename tmp→state
+    → rmtree state.old. A crash between the two renames leaves NO live
+    state dir but an intact ``.old`` backup; without recovery the next
+    batch's _SUCCESS probe treats state as empty and every prior merge
+    is silently lost (source offsets for those batches are already
+    committed, so they are never replayed). Crash windows:
+
+      state valid, .old present  → swap completed, cleanup lost: drop .old
+      state missing/invalid, .old valid → mid-swap crash: restore .old
+        (the interrupted batch itself IS replayed — foreachBatch commits
+        its epoch only after the function returns — so no data is lost)
+    """
+    bak = state_path + ".old"
+    if not os.path.exists(bak):
+        return
+    import shutil
+
+    if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+        shutil.rmtree(bak, ignore_errors=True)
+    elif os.path.exists(os.path.join(bak, "_SUCCESS")):
+        if os.path.exists(state_path):
+            shutil.rmtree(state_path, ignore_errors=True)
+        os.rename(bak, state_path)
+
+
 def run_stream_ingest(
     spark: SparkSession,
     drop_dir: str,
@@ -79,6 +108,7 @@ def run_stream_ingest(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        recover_state(state_path)
         new_rows = ingest(batch_df).withColumn("batch_id", F.lit(batch_id))
         if os.path.exists(os.path.join(state_path, "_SUCCESS")):
             old = s.read.parquet(state_path)
