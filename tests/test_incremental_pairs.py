@@ -1,0 +1,180 @@
+"""Incremental pair/cluster maintenance vs full recompute.
+
+The 100 TB daily-delta contract (plans/incremental.py): after merging a
+snapshot that adds a near-dup, adds an exact copy, changes a file, and
+deletes a group representative, the final clusters must EQUAL a full
+batch recompute on the new snapshot, while the expensive tiers touch
+only the delta (asserted on the run report's ``delta`` counters).
+
+Reference anchor: uncp's only-changed-files contract
+(src/detector.rs:783-885, merge-on-save src/persist.rs:208-233),
+extended here to the pair/cluster tiers the reference never built.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from uncp_spark.fixtures import REPOS_SCHEMA, FixtureSpec, generate_repos_rows
+from uncp_spark.plans.incremental import incremental_update
+from uncp_spark.plans.pipeline import DedupPipeline
+
+SPEC = FixtureSpec(n_repos=12, files_per_repo=8, seed=42)
+
+
+def _v1_rows():
+    return generate_repos_rows(SPEC)
+
+
+def _mutate_v2(spark, rows):
+    """v1 → v2: one near-dup added, one exact copy added, one file
+    changed in place, one exact-group REPRESENTATIVE deleted (while its
+    copy survives — the signature-rebind path). Returns (v2_rows,
+    expectations dict)."""
+    # pick victims deterministically from the planted classes
+    uniques = [r for r in rows if r[5] == "unique" and len(r[4]) > 800]
+    near_base = uniques[0]
+    copy_base = uniques[1]
+    change_victim = uniques[2]
+    delete_victim = uniques[3]
+
+    # exact pair whose MIN-file_id member we delete → rebind
+    exact_rows = [r for r in rows if r[5] == "exact"]
+    by_group: dict[int, list] = {}
+    for r in exact_rows:
+        by_group.setdefault(r[6], []).append(r)
+    pair = next(g for g in by_group.values() if len(g) == 2)
+    fid = {
+        (r["repo"], r["path"]): r["fid"]
+        for r in spark.createDataFrame(pair, REPOS_SCHEMA)
+        .select("repo", "path", F.xxhash64("repo", "path").alias("fid"))
+        .collect()
+    }
+    rep_row = min(pair, key=lambda r: fid[(r[0], r[1])])
+
+    v2 = [
+        r for r in rows
+        if (r[0], r[1]) not in {
+            (delete_victim[0], delete_victim[1]),
+            (rep_row[0], rep_row[1]),
+        }
+    ]
+    # change in place: same (repo, path), new commit, new content
+    v2 = [
+        (r[0], r[1], "commit2", r[3], r[4] + "\nwholly new trailing line xyz",
+         r[5], r[6]) if (r[0], r[1]) == (change_victim[0], change_victim[1])
+        else r
+        for r in v2
+    ]
+    v2.append(("orgN/proj_new", "added/near_" + near_base[1].split("/")[-1],
+               "commitN", near_base[3],
+               near_base[4] + "\nnear dup tail alpha beta", "near", 9001))
+    v2.append(("orgN/proj_new", "added/copy_" + copy_base[1].split("/")[-1],
+               "commitN", copy_base[3], copy_base[4], "exact", 9002))
+    return v2, {
+        # new content entering the corpus: the near-dup variant + the
+        # changed file's new bytes (the exact copy reuses a known sha)
+        "fresh_sigs": 2,
+        # the deleted representative's content survives via its copy
+        "rebound": 1,
+        # 2 added + 1 changed
+        "ingested": 3,
+        # 1 deleted + 1 deleted rep + 1 changed old row
+        "dead": 3,
+    }
+
+
+@pytest.fixture(scope="module")
+def incr_state(spark, tmp_path_factory):
+    rows = _v1_rows()
+    v1 = spark.createDataFrame(rows, REPOS_SCHEMA).repartition(8)
+    v2_rows, expect = _mutate_v2(spark, rows)
+    v2 = spark.createDataFrame(v2_rows, REPOS_SCHEMA).repartition(8)
+
+    base_a = str(tmp_path_factory.mktemp("incr_a"))
+    base_b = str(tmp_path_factory.mktemp("full_b"))
+
+    full_v1 = DedupPipeline(base_dir=base_a).run(
+        spark, v1, input_token="v1", register_sql_views=False
+    )
+    incr = incremental_update(spark, base_a, v2, input_token="v2-incr")
+    full_v2 = DedupPipeline(base_dir=base_b).run(
+        spark, v2, input_token="v2", register_sql_views=False
+    )
+    return {
+        "base_a": base_a, "v2": v2, "expect": expect,
+        "full_v1": full_v1, "incr": incr, "full_v2": full_v2,
+    }
+
+
+def _membership(out) -> dict:
+    return {
+        (r.repo, r.path): r.cluster_id
+        for r in out["labeled"].select("repo", "path", "cluster_id").collect()
+    }
+
+
+def _cluster_rows(out) -> list[tuple]:
+    cols = ["cluster_id", "dup_count", "bytes_reclaimable", "total_size",
+            "min_depth", "n_repos", "priority_rank"]
+    return sorted(tuple(r) for r in out["clusters"].select(*cols).collect())
+
+
+def test_incremental_clusters_equal_full_recompute(incr_state):
+    assert _membership(incr_state["incr"]) == _membership(incr_state["full_v2"])
+    assert _cluster_rows(incr_state["incr"]) == _cluster_rows(incr_state["full_v2"])
+
+
+def test_incremental_touches_only_the_delta(incr_state):
+    delta = incr_state["incr"]["report"]["delta"]
+    expect = incr_state["expect"]
+    # the ONLY signature-UDF rows are the genuinely-new content
+    assert delta["sigs_fresh"] == expect["fresh_sigs"]
+    assert delta["sigs_rebound"] == expect["rebound"]
+    assert delta["files_ingested"] == expect["ingested"]
+    assert delta["files_dead"] == expect["dead"]
+    # pair scoring and CC are bounded by the delta, not the corpus
+    full_stats = {
+        s["stage"]: s["rows"] for s in incr_state["full_v2"]["report"]["stages"]
+    }
+    assert 0 < delta["pairs_delta"] < full_stats["pairs"]
+    assert 0 < delta["cc_affected_nodes"] < full_stats["labels"]
+    # the persisted delta metrics match the in-memory report
+    with open(os.path.join(incr_state["base_a"], "_incr_run.json")) as f:
+        assert json.load(f)["delta"] == delta
+
+
+def test_incremental_checkpoints_resume_as_batch(spark, incr_state):
+    """The incrementally-updated checkpoint chain is indistinguishable
+    from a batch run: a resume with the same token skips every stage."""
+    out = DedupPipeline(base_dir=incr_state["base_a"]).run(
+        spark, incr_state["v2"], input_token="v2-incr",
+        register_sql_views=False,
+    )
+    flags = {s["stage"]: s["resumed"] for s in out["report"]["stages"]}
+    assert all(flags.values()), flags
+
+
+def test_incremental_dead_files_fully_retired(incr_state):
+    """Deleted/changed ids appear in no user-facing output and in none
+    of the maintained tables' live rows."""
+    incr = incr_state["incr"]
+    v2_keys = {
+        (r.repo, r.path)
+        for r in incr_state["v2"].select("repo", "path").collect()
+    }
+    assert {
+        (r.repo, r.path) for r in incr["files"].select("repo", "path").collect()
+    } == v2_keys
+    live_ids = {r.file_id for r in incr["files"].select("file_id").collect()}
+    edge_ids = {
+        r.i
+        for r in incr["edges"].select(F.col("src").alias("i")).unionByName(
+            incr["edges"].select(F.col("dst").alias("i"))
+        ).collect()
+    }
+    assert edge_ids <= live_ids

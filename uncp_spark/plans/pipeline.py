@@ -87,7 +87,18 @@ class DedupPipeline:
             return signature_table(reps, cfg).select(*SIG_COLS)
 
         def build_pairs(spark, ctx):
-            pairs, hot = candidate_pairs(ctx["sigs"], cfg)
+            # band table persisted alongside the pairs stage: computed
+            # ONCE per corpus, read back column-pruned for pair
+            # generation, and the substrate the incremental path
+            # (plans/incremental.py) joins delta signatures against —
+            # a daily delta touches only the buckets its band keys hit,
+            # instead of re-banding the whole corpus.
+            from uncp_spark.operators.lsh import band_keys
+
+            bk_path = self._stage_dir("bands")
+            band_keys(ctx["sigs"], cfg).write.mode("overwrite").parquet(bk_path)
+            bands = spark.read.parquet(bk_path)
+            pairs, hot = candidate_pairs(None, cfg, bands=bands)
             # hot-bucket report persisted alongside (skew observability)
             hot.write.mode("overwrite").parquet(self._stage_dir("hot_buckets"))
             return pairs
