@@ -592,14 +592,59 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     )
 
 
-def q_near_dup_clusters(spark, sf_dir):
+def _near_dup_keyed(spark, sf_dir):
+    """Full-pipeline cluster membership re-keyed for the oracle: the
+    engine's cluster_id is min(file_id)=min(xxhash64) — not computable in
+    DuckDB — so clusters are presented by ``cluster_key`` = min
+    ``repo|path`` member string, an order-isomorphic relabeling that
+    preserves the partition exactly (the thing the north_rule's
+    "matching cluster assignments" gate compares)."""
     labeled = _near_dup_labeled(spark, sf_dir)
-    return labeled.select("file_id", "repo", "path", "cluster_id")
+    ckey = labeled.groupBy("cluster_id").agg(
+        F.min(F.concat_ws("|", "repo", "path")).alias("cluster_key")
+    )
+    return labeled.join(ckey, "cluster_id")
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    """END-TO-END pipeline oracle (ingest → sigs → LSH → verify → CC →
+    membership). The DuckDB twin computes the accepted edge set from
+    first principles — exact 5-token-shingle Jaccard ≥ 0.7 OR shingle
+    containment ≥ 0.9 over distinct contents — and clusters it with a
+    recursive transitive-closure CTE (independent algorithm). The edge
+    sets are PROVABLY equal on this corpus: acceptance is deterministic
+    (seed-pinned signatures; exact-Jaccard ride-along repairs estimate
+    undershoot; every overshoot-risk pair here has containment 1.0, so
+    both sides accept it), verified empirically at sf0.001 and sf0.01
+    (spark-only = oracle-only = 0, see round-3 notes). A hash match is
+    therefore a true end-to-end equality of cluster assignments."""
+    return _near_dup_keyed(spark, sf_dir).select("repo", "path", "cluster_key")
 
 
 def q_near_dup_priority(spark, sf_dir):
-    labeled = _near_dup_labeled(spark, sf_dir)
-    return priority_ranked(cluster_stats(labeled))
+    """Priority stats + total rank over the FULL near-dup clusters (the
+    flagship output, oracle-keyed like q_near_dup_clusters). The global
+    window is oracle-only, as in q_exact_cluster_priority — production
+    ranking is the banded global_rank in operators/priority.py."""
+    from pyspark.sql import Window
+
+    keyed = _near_dup_keyed(spark, sf_dir)
+    stats = (
+        keyed.groupBy("cluster_key")
+        .agg(
+            F.count("*").alias("dup_count"),
+            (F.sum("size") - F.max("size")).alias("bytes_reclaimable"),
+            F.sum("size").alias("total_size"),
+            F.min("depth").alias("min_depth"),
+            F.countDistinct("repo").alias("n_repos"),
+        )
+        .filter(F.col("dup_count") >= 2)
+    )
+    w = Window.orderBy(
+        F.desc("bytes_reclaimable"), F.desc("dup_count"),
+        F.asc("min_depth"), F.asc("cluster_key"),
+    )
+    return stats.withColumn("priority_rank", F.row_number().over(w))
 
 
 def q_substring_containment(spark, sf_dir):
@@ -650,14 +695,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "same_name_unique_content": q_same_name_unique_content,
         "groups_containing_file": q_groups_containing_file,
-        # fuzzy tier (rows-only: MinHash estimates / LSH thresholds are
-        # not ANSI-SQL-expressible; their kernels are oracle-checked via
-        # lsh_recall_vs_bruteforce, cc_bruteforce, containment_pairs,
-        # shingle_stats instead)
-        "minhash_signatures": q_minhash_signatures,
-        "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        # full-pipeline end-to-end (oracle-checked: recursive-closure
+        # twin over the first-principles accepted edge set)
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_priority": q_near_dup_priority,
+        # signature internals (rows-only: MinHash estimates / LSH band
+        # hashes are not ANSI-SQL-expressible; their kernels are
+        # oracle-checked via lsh_recall_vs_bruteforce, cc_bruteforce,
+        # containment_pairs, shingle_stats, near_dup_clusters instead)
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "substring_containment": q_substring_containment,
     }
 
@@ -676,6 +723,50 @@ files AS (
          lower(regexp_extract(path, '([^.]*)$', 1)) AS ext
   FROM repos
 )"""
+
+
+# Full near-dup cluster membership, from first principles: accepted
+# edges = exact shingle-Jaccard >= 0.7 OR shingle-containment >= 0.9
+# over distinct contents (provably equal to the pipeline's accepted set
+# on this corpus — see q_near_dup_clusters), clustered by a recursive
+# transitive-closure CTE, re-keyed by min repo|path member.
+_NEARDUP_MEMB = _FILES.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+sh AS (
+  SELECT sha256(content) AS sha,
+         list_distinct(list_transform(
+           generate_series(1, len(t) - 4),
+           i -> array_to_string(list_slice(t, i, i + 4), ' ')
+         )) AS s
+  FROM (SELECT content,
+               string_split(
+                 trim(regexp_replace(lower(content), '\\s+', ' ', 'g')), ' '
+               ) AS t
+        FROM (SELECT DISTINCT content FROM files))
+  WHERE len(t) >= 5
+),
+near AS (
+  SELECT a.sha AS sa, b.sha AS sb
+  FROM sh a JOIN sh b ON a.sha < b.sha
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.7
+     OR len(list_intersect(a.s, b.s))::DOUBLE /
+        least(len(a.s), len(b.s))::DOUBLE >= 0.9
+),
+eds AS (SELECT sa AS a, sb AS b FROM near UNION SELECT sb, sa FROM near),
+shas AS (SELECT DISTINCT sha256 AS sha FROM files),
+reach(src, dst) AS (
+  SELECT sha, sha FROM shas
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN eds e ON r.dst = e.a
+),
+comp AS (SELECT src AS sha, min(dst) AS comp_sha FROM reach GROUP BY src),
+memb AS (
+  SELECT f.repo, f.path, f.size, f.depth, c.comp_sha,
+         concat(f.repo, '|', f.path) AS fk
+  FROM files f JOIN comp c ON f.sha256 = c.sha
+),
+ckey AS (SELECT comp_sha, min(fk) AS cluster_key FROM memb GROUP BY comp_sha)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1046,6 +1137,30 @@ def oracle_sql() -> dict[str, str]:
             FROM files GROUP BY filename
             HAVING count(*) >= 2
                AND list_contains(list(path), 'docs/doc_0.txt')
+        """,
+        "near_dup_clusters": f"""
+            {_NEARDUP_MEMB}
+            SELECT m.repo, m.path, k.cluster_key
+            FROM memb m JOIN ckey k USING (comp_sha)
+        """,
+        "near_dup_priority": f"""
+            {_NEARDUP_MEMB},
+            stats AS (
+              SELECT k.cluster_key, count(*) AS dup_count,
+                     (sum(m.size) - max(m.size))::BIGINT AS bytes_reclaimable,
+                     sum(m.size)::BIGINT AS total_size,
+                     min(m.depth) AS min_depth,
+                     count(DISTINCT m.repo) AS n_repos
+              FROM memb m JOIN ckey k USING (comp_sha)
+              GROUP BY k.cluster_key HAVING count(*) >= 2
+            )
+            SELECT cluster_key, dup_count, bytes_reclaimable, total_size,
+                   min_depth, n_repos,
+                   row_number() OVER (
+                     ORDER BY bytes_reclaimable DESC, dup_count DESC,
+                              min_depth ASC, cluster_key ASC
+                   )::INT AS priority_rank
+            FROM stats
         """,
         "ann_cosine_topk": """
             WITH q AS (
