@@ -16,11 +16,29 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from uncp_spark.deploy import build_pyfiles_zip, spark_submit_cmd  # noqa: E402
+
+# staged once per invocation: the DEPLOYABLE artifact (bench.py + the
+# uncp_spark zip) runs from a bare temp dir, so every import resolves
+# from the --py-files zip exactly as on a cluster — not from the repo
+_STAGE: dict[str, str] = {}
+
+
+def _stage_artifact() -> tuple[str, str]:
+    if not _STAGE:
+        d = tempfile.mkdtemp(prefix="uncp_submit_")
+        _STAGE["zip"] = build_pyfiles_zip(os.path.join(d, "uncp_spark.zip"))
+        _STAGE["bench"] = shutil.copy(os.path.join(REPO, "bench.py"), d)
+    return _STAGE["bench"], _STAGE["zip"]
 
 
 def run_bench(cores: int, sf_dir: str, amplify: int, content_repeat: int) -> dict:
@@ -34,10 +52,19 @@ def run_bench(cores: int, sf_dir: str, amplify: int, content_repeat: int) -> dic
         # identical logical plans in both arms: only executor-thread count
         # varies, exactly like scaling executors on a fixed-conf cluster
         SPARK_GRAFT_SHUFFLE=os.environ.get("SPARK_GRAFT_SHUFFLE", "64"),
+        PYSPARK_PYTHON=sys.executable,
+    )
+    bench_app, zip_path = _stage_artifact()
+    # north_rule launcher: spark-submit --py-files (driver memory must be
+    # a submit flag — builder-side driver.memory is ignored once the JVM
+    # is up; see uncp_spark.deploy)
+    cmd = spark_submit_cmd(
+        bench_app, zip_path, master=f"local[{cores}]",
+        driver_memory=os.environ.get("SPARK_DRIVER_MEM", "24g"),
     )
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        cmd, env=env, capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(bench_app),
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
@@ -140,7 +167,11 @@ to damp co-tenant load noise.
 
 ## Scaling efficiency (north_rule: ≥ 0.8 from N to 4N)
 
-Same spark-submit-able job, identical input ({report['n_files']} files derived from
+Same job, both arms launched as the deployable artifact —
+`spark-submit --master local[N] --driver-memory 24g --py-files uncp_spark.zip bench.py`
+staged in a bare temp dir so every import resolves from the zip
+(executor UDF workers included; see tests/test_pyfiles_packaging.py) —
+identical input ({report['n_files']} files derived from
 `{args.sf_dir}/documents.parquet`, amplify ×{args.amplify}), two parallelism levels:
 
 | parallelism | pipeline sec | throughput (files/s) |
