@@ -51,6 +51,37 @@ def test_feature_extraction_real_decoder_gated(spark, media):
     assert "NotImplementedError" in str(ei.value) or "real media decoding" in str(ei.value)
 
 
+def test_injected_codec_flows_end_to_end(spark):
+    """The real-codec seam: a PIL-like callable injected into
+    make_feature_extractor must be shipped with the UDF, run inside the
+    executor-side Arrow batch loop, and surface its features + name —
+    proving the ONLY missing piece of F13 is the library itself, not
+    plumbing."""
+    import numpy as np
+
+    def tiny_codec(payload: bytes, dim: int):
+        # stands in for PIL: "decode" the payload as u8 pixels and emit
+        # pooled statistics, exactly the shape a real extractor returns
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+        out = np.zeros(dim, dtype=np.float32)
+        out[0], out[1], out[2], out[3] = arr.mean(), arr.max(), arr.min(), len(arr)
+        return out
+
+    media = spark.createDataFrame(
+        [(1, bytearray([0, 10, 20])), (2, bytearray([5, 5]))],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r.media_id: r
+        for r in extract_features(
+            media, dim=4, decoder=tiny_codec, decoder_name="tiny-codec"
+        ).collect()
+    }
+    assert rows[1].decoder == "tiny-codec"
+    assert rows[1].feature == [10.0, 20.0, 0.0, 3.0]
+    assert rows[2].feature == [5.0, 5.0, 5.0, 2.0]
+
+
 def test_frame_sampling_plumbing(spark, media):
     out = frame_sample_stub(media, every_n=30).collect()
     assert all(r["frame_idx"] % 30 == 0 for r in out)

@@ -68,26 +68,42 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal(dim).astype(np.float32)
 
 
-def make_feature_extractor(dim: int = 16, decode_stub: bool = True):
+def make_feature_extractor(dim: int = 16, decode_stub: bool = True,
+                           decoder=None, decoder_name: str | None = None):
     """mapInPandas operator: (media_id, payload) → (media_id, feature).
 
     Batch shape: one Arrow batch in, one out; per-batch numpy, no
-    per-row Python UDF. With decode_stub=False this raises
-    NotImplementedError at the exact point a real codec plugs in.
+    per-row Python UDF.
+
+    ``decoder`` is the REAL-CODEC SEAM: any callable
+    ``(payload: bytes, dim: int) -> np.ndarray`` — e.g. a PIL decode +
+    resize + channel-mean, a torchaudio spectrogram — is cloudpickled
+    with the UDF and runs inside the Arrow batch loop on executors with
+    no other change (contract-tested in tests/test_multimodal.py).
+    Without one, decode_stub=True gives the deterministic fake and
+    decode_stub=False raises NotImplementedError at exactly this point.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
+            if decoder is not None:
+                feats = [
+                    np.asarray(decoder(bytes(p), dim), dtype=np.float32)
+                    for p in pdf["payload"]
+                ]
+                name = decoder_name or getattr(decoder, "__name__", "injected")
+            elif decode_stub:
+                feats = [_fake_decode(bytes(p), dim) for p in pdf["payload"]]
+                name = "stub-sha256-rng"
+            else:
                 raise NotImplementedError(
                     "real media decoding requires PIL/ffmpeg — not in this container"
                 )
-            feats = [_fake_decode(bytes(p), dim) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "feature": [f.tolist() for f in feats],
-                    "decoder": "stub-sha256-rng",
+                    "decoder": name,
                 }
             )
 
@@ -95,13 +111,17 @@ def make_feature_extractor(dim: int = 16, decode_stub: bool = True):
 
 
 def extract_features(df: DataFrame, dim: int = 16, decode_stub: bool = True,
-                     partitions: int | None = None) -> DataFrame:
+                     partitions: int | None = None,
+                     decoder=None, decoder_name: str | None = None) -> DataFrame:
     """Feature extraction over a binary column. Repartitions first so
     decode work spreads evenly (media blobs skew in size)."""
     src = df.select("media_id", "payload")
     if partitions:
         src = src.repartition(partitions)
-    return src.mapInPandas(make_feature_extractor(dim, decode_stub), FEATURE_SCHEMA)
+    return src.mapInPandas(
+        make_feature_extractor(dim, decode_stub, decoder, decoder_name),
+        FEATURE_SCHEMA,
+    )
 
 
 def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:

@@ -166,6 +166,7 @@ class DedupPipeline:
         resume: bool = True,
         register_sql_views: bool = True,
         cancel=None,
+        progress: bool = True,
     ) -> dict:
         """Run (or resume) the stage graph. Returns dict of output
         DataFrames + stage metrics.
@@ -174,7 +175,14 @@ class DedupPipeline:
         (T3). Checked between stages (a cancel costs at most the
         in-flight stage — every finished stage is already checkpointed,
         so a later resume run skips it) and bound to a Spark job group
-        so ``cancel()`` interrupts in-flight jobs too."""
+        so ``cancel()`` interrupts in-flight jobs too.
+
+        ``progress`` (T4): stream live task-level progress rows to
+        ``<base_dir>/_metrics/progress.jsonl`` while stages run (uncp's
+        ``SystemProgress`` analogue, see plans/progress.py); query them
+        mid-run via ``plans.progress.read_progress``."""
+        from uncp_spark.plans.progress import ProgressReporter
+
         t0 = time.monotonic()
         os.makedirs(self.base_dir, exist_ok=True)
         results: list[ckpt.StageResult] = []
@@ -185,25 +193,37 @@ class DedupPipeline:
         ctx: dict = {"repos": repos, "cfg": self.cfg, "base_dir": self.base_dir}
         reserved = set(ctx) | {"report", "labeled"}
         tokens: dict[str, str] = {}
-        for spec in stages:
-            if cancel is not None:
-                cancel.raise_if_cancelled()
-            if spec.name in reserved:
-                raise ValueError(f"stage name {spec.name!r} is reserved")
-            missing = [d for d in spec.deps if d not in tokens]
-            if missing:
-                raise ValueError(
-                    f"stage {spec.name!r} depends on {missing} which have "
-                    f"not run — stage list order must satisfy deps"
+        reporter = (
+            ProgressReporter(
+                spark, os.path.join(self.base_dir, "_metrics")
+            ).start()
+            if progress else None
+        )
+        try:
+            for spec in stages:
+                if cancel is not None:
+                    cancel.raise_if_cancelled()
+                if spec.name in reserved:
+                    raise ValueError(f"stage name {spec.name!r} is reserved")
+                missing = [d for d in spec.deps if d not in tokens]
+                if missing:
+                    raise ValueError(
+                        f"stage {spec.name!r} depends on {missing} which have "
+                        f"not run — stage list order must satisfy deps"
+                    )
+                if reporter is not None:
+                    reporter.set_stage(spec.name)
+                tok_in = (
+                    "|".join(tokens[d] for d in spec.deps) if spec.deps else input_token
                 )
-            tok_in = (
-                "|".join(tokens[d] for d in spec.deps) if spec.deps else input_token
-            )
-            if spec.token_salt:
-                tok_in = f"{tok_in}|{spec.token_salt}"
-            df, tok = self._run_stage(spark, spec, tok_in, ctx, results, resume)
-            ctx[spec.name] = df
-            tokens[spec.name] = tok
+                if spec.token_salt:
+                    tok_in = f"{tok_in}|{spec.token_salt}"
+                df, tok = self._run_stage(spark, spec, tok_in, ctx, results, resume)
+                ctx[spec.name] = df
+                tokens[spec.name] = tok
+        finally:
+            if reporter is not None:
+                reporter.stop()
 
         labeled = (
             label_all(ctx["files"], ctx["labels"])
