@@ -148,16 +148,15 @@ def main() -> None:
 
         def build_sigs():
             # parquet checkpoint, exactly like DedupPipeline's sigs stage:
-            # one compute + write, then column-PRUNED reads downstream
-            # (the LSH stage reads only file_id+minhash; the fat shingle
-            # arrays are read once, for the residual containment join).
-            # Caching the fat table instead evicts/spills at amplify≥60
-            # (~8 GB shingles) and turns every downstream stage into
-            # serialized disk churn that extra cores cannot speed up.
+            # one compute + write, then column-PRUNED reads downstream.
+            # FIXED-WIDTH columns only — the fat shingle arrays never
+            # leave the UDF workers (no Arrow return, no parquet write);
+            # the verify stage recomputes them from content for exactly
+            # the residual-candidate members (signatures.shingle_sets).
             reps = ensure_parallelism(exact_representatives(files))
-            s = signature_table(reps, CFG).select(
+            s = signature_table(reps, CFG, include_shingles=False).select(
                 "file_id", "repo", "path", "lang", "size", "depth",
-                "minhash", "simhash", "shingles", "n_shingles",
+                "minhash", "simhash", "n_shingles",
             )
             s.write.mode("overwrite").parquet(sig_path)
             out = spark.read.parquet(sig_path)
@@ -177,7 +176,7 @@ def main() -> None:
         def build_edges():
             from uncp_spark.operators.verify import release_scored_cache
 
-            e = accept_edges(score_pairs(pairs, sigs, CFG), CFG).select("src", "dst")
+            e = accept_edges(score_pairs(pairs, sigs, CFG, files), CFG).select("src", "dst")
             e = e.unionByName(exact_cluster_edges(files).select("src", "dst")).persist()
             e.count()
             release_scored_cache()

@@ -117,27 +117,61 @@ def main() -> None:
 
     # Alternate arms and keep the best run per arm: the sandbox host is
     # shared and co-tenant load bursts 10-20x; best-of-N alternating
-    # samples the quiet windows for both arms comparably.
+    # samples the quiet windows for both arms comparably. The host-arith
+    # control runs INSIDE each window (immediately before each arm), so
+    # every window carries its own ceiling — per-stage normalized
+    # efficiency is engine-speedup ÷ same-window host-speedup.
+    lo, hi = args.cores_low, args.cores_high
     results: dict[int, dict] = {}
+    windows: list[dict] = []
     for i in range(args.runs):
-        for cores in (args.cores_low, args.cores_high):
+        w: dict = {"window": i}
+        for cores in (lo, hi):
+            w[f"arith_{cores}"] = run_calibration(cores)
             r = run_bench(cores, args.sf_dir, args.amplify, args.content_repeat)
+            w[f"bench_{cores}"] = {
+                "value": r["value"], "files_per_sec": r["files_per_sec"],
+                "queries": r["queries"],
+            }
             print(f"local[{cores}] run {i}: {r['value']}s "
-                  f"({r['files_per_sec']} files/s)", flush=True)
+                  f"({r['files_per_sec']} files/s; host arith "
+                  f"{w[f'arith_{cores}']}s)", flush=True)
             best = results.get(cores)
             if best is None or r["value"] < best["value"]:
                 results[cores] = r
+        w["host_speedup"] = round(w[f"arith_{lo}"] / w[f"arith_{hi}"], 3)
+        w["stage_norm_eff"] = {}
+        for stage in w[f"bench_{lo}"]["queries"]:
+            tl = w[f"bench_{lo}"]["queries"][stage]
+            th_ = w[f"bench_{hi}"]["queries"].get(stage)
+            if th_ and th_ > 0 and w["host_speedup"] > 0:
+                w["stage_norm_eff"][stage] = round(
+                    (tl / th_) / w["host_speedup"], 3
+                )
+        windows.append(w)
 
-    lo, hi = args.cores_low, args.cores_high
     t8, t32 = results[lo]["files_per_sec"], results[hi]["files_per_sec"]
     eff = (t32 / t8) / (hi / lo)
 
-    # host ceiling: what speedup does lo→hi deliver on pure JVM
-    # arithmetic with zero engine work? (best-of-3 inside)
-    calib_lo = run_calibration(lo)
-    calib_hi = run_calibration(hi)
-    host_speedup = round(calib_lo / calib_hi, 3)
+    # headline window = quietest co-tenancy (highest host ceiling): the
+    # window where the hardware came closest to actually providing 4x
+    head = max(windows, key=lambda w: w["host_speedup"])
+    calib_lo, calib_hi = head[f"arith_{lo}"], head[f"arith_{hi}"]
+    host_speedup = head["host_speedup"]
     norm_eff = round((t32 / t8) / host_speedup, 3) if host_speedup else None
+    # per-stage: best normalized efficiency across windows (each window
+    # is self-calibrated, so the best window is the cleanest measurement
+    # of the plan itself rather than of co-tenant noise)
+    stage_best = {}
+    for stage in head["stage_norm_eff"]:
+        vals = [w["stage_norm_eff"].get(stage) for w in windows
+                if w["stage_norm_eff"].get(stage) is not None]
+        if vals:
+            stage_best[stage] = {
+                "best": max(vals),
+                "median": sorted(vals)[len(vals) // 2],
+                "all": vals,
+            }
 
     report = {
         "cores_low": lo, "cores_high": hi,
@@ -150,6 +184,8 @@ def main() -> None:
         "host_ceiling_speedup": host_speedup,
         "host_ceiling_efficiency": round(host_speedup / (hi / lo), 3),
         "normalized_efficiency_vs_host_ceiling": norm_eff,
+        "per_stage_normalized_efficiency": stage_best,
+        "windows": windows,
         "runs_per_point": args.runs,
         "sf_dir": args.sf_dir,
         "amplify": args.amplify,
@@ -200,7 +236,19 @@ cluster, adding executors adds memory bandwidth and cores 1:1.
 
 Pipeline total: {results[hi]['value']} s → {t32} files/s on {report['n_files']} files
 ({results[hi]['n_clusters']} duplicate clusters found).
-"""
+
+## Per-stage normalized scaling efficiency
+
+Engine per-stage speedup ÷ the host-arith ceiling measured IN THE SAME
+WINDOW (the control runs immediately before each arm, so every window
+is self-calibrated against co-tenant load):
+
+| stage | best window | median | per-window |
+|---|---|---|---|
+""" + "\n".join(
+        f"| {k} | {v['best']} | {v['median']} | {v['all']} |"
+        for k, v in stage_best.items()
+    ) + "\n"
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:

@@ -101,3 +101,62 @@ def test_shingle_ids_batch_kernel():
     solo = [shingle_ids_batch([r], 5, w)[0] for r in rows]
     for got, want in zip(out, solo):
         assert got.tolist() == want.tolist()
+
+
+def test_shingle_sets_recompute_bit_identical(spark, repos_df, cfg):
+    """The residual-verify recompute path (signatures.shingle_sets) must
+    reproduce the fused pass's shingle arrays exactly — same kernel,
+    same token-hash prelude, pinned seed."""
+    from uncp_spark.operators.exact import exact_representatives
+    from uncp_spark.operators.ingest import ingest
+    from uncp_spark.operators.signatures import shingle_sets, signature_table
+
+    files = ingest(repos_df)
+    reps = exact_representatives(files)
+    fat = signature_table(reps, cfg).select("file_id", "shingles")
+    rec = shingle_sets(files, cfg, ids=reps.select("file_id")).withColumnRenamed(
+        "shingles", "shingles2"
+    )
+    joined = fat.join(rec, "file_id")
+    assert joined.count() == fat.count()
+    assert joined.filter(F.col("shingles") != F.col("shingles2")).count() == 0
+
+
+def test_skinny_signature_table_yields_identical_edges(spark, repos_df, cfg):
+    """Production shape: signature table WITHOUT shingle arrays (they
+    never cross Arrow), verify recomputing them for residual members —
+    accepted edge set must equal the fat path's exactly."""
+    from uncp_spark.operators.exact import exact_representatives
+    from uncp_spark.operators.ingest import ingest
+    from uncp_spark.operators.lsh import candidate_pairs
+    from uncp_spark.operators.signatures import signature_table
+    from uncp_spark.operators.verify import accept_edges, score_pairs
+
+    files = ingest(repos_df)
+    reps = exact_representatives(files)
+    fat = signature_table(reps, cfg)
+    skinny = signature_table(reps, cfg, include_shingles=False)
+    assert "shingles" not in skinny.columns
+
+    pf, _ = candidate_pairs(fat, cfg)
+    ps, _ = candidate_pairs(skinny, cfg)
+    ef = accept_edges(score_pairs(pf, fat, cfg), cfg)
+    es = accept_edges(score_pairs(ps, skinny, cfg, files=files), cfg)
+    rows_f = {(r.src, r.dst, round(r.score, 6), r.edge_type) for r in ef.collect()}
+    rows_s = {(r.src, r.dst, round(r.score, 6), r.edge_type) for r in es.collect()}
+    assert rows_f == rows_s and rows_f
+
+
+def test_score_pairs_without_shingles_or_files_raises(spark, repos_df, cfg):
+    from uncp_spark.operators.exact import exact_representatives
+    from uncp_spark.operators.ingest import ingest
+    from uncp_spark.operators.lsh import candidate_pairs
+    from uncp_spark.operators.signatures import signature_table
+    from uncp_spark.operators.verify import score_pairs
+
+    files = ingest(repos_df)
+    skinny = signature_table(exact_representatives(files), cfg,
+                             include_shingles=False)
+    pairs, _ = candidate_pairs(skinny, cfg)
+    with pytest.raises(ValueError, match="shingles"):
+        score_pairs(pairs, skinny, cfg)

@@ -80,7 +80,16 @@ _FUSED_TYPE = T.StructType(
 )
 
 
-def make_fused_signatures_udf(cfg: SimilarityConfig):
+_FUSED_TYPE_SKINNY = T.StructType(
+    [
+        T.StructField("n_shingles", T.IntegerType(), False),
+        T.StructField("minhash", T.ArrayType(T.LongType()), False),
+        T.StructField("simhash", T.LongType(), False),
+    ]
+)
+
+
+def make_fused_signatures_udf(cfg: SimilarityConfig, include_shingles: bool = True):
     """shingle-windowing + MinHash + SimHash in ONE numpy pass.
 
     Input: ``token_hashes`` (per-token xxhash64, with repetition) and
@@ -90,7 +99,14 @@ def make_fused_signatures_udf(cfg: SimilarityConfig):
     the JVM never materializes window slices, which was the measured
     scaling bottleneck of the expression-based shingle stage. Shingle
     id VALUES differ from the expression path (splitmix-rolled vs
-    xxhash64-of-slice); all consumers use them as opaque set keys."""
+    xxhash64-of-slice); all consumers use them as opaque set keys.
+
+    ``include_shingles=False`` drops the shingle arrays from the RETURN
+    STRUCT — a select after the UDF cannot do this (the whole struct
+    crosses Arrow regardless of downstream pruning), and the arrays are
+    the dominant transfer payload (~8 B/token/row vs 1 KB fixed). The
+    production pipeline runs skinny and recomputes shingles for the
+    residual verify set only (shingle_sets below)."""
     from uncp_spark.functions.kernels import shingle_ids_batch, shingle_weights
 
     a, b = minhash_params(cfg)
@@ -100,7 +116,9 @@ def make_fused_signatures_udf(cfg: SimilarityConfig):
     k = cfg.shingle_k
     weights = shingle_weights(k, cfg.seed)
 
-    @F.pandas_udf(_FUSED_TYPE)
+    out_type = _FUSED_TYPE if include_shingles else _FUSED_TYPE_SKINNY
+
+    @F.pandas_udf(out_type)
     def fused_udf(token_hashes: pd.Series, char_hashes: pd.Series) -> pd.DataFrame:
         th = [
             np.asarray(s, dtype=np.int64) if s is not None else np.empty(0, np.int64)
@@ -115,39 +133,110 @@ def make_fused_signatures_udf(cfg: SimilarityConfig):
         else:
             mh = minhash_batch(sh, a, b, prime)
         sim = simhash_batch(th)
-        return pd.DataFrame(
-            {
-                "shingles": list(sh),
-                "n_shingles": [len(s) for s in sh],
-                "minhash": list(mh),
-                "simhash": sim,
-            }
-        )
+        cols = {
+            "n_shingles": [len(s) for s in sh],
+            "minhash": list(mh),
+            "simhash": sim,
+        }
+        if include_shingles:
+            cols = {"shingles": list(sh), **cols}
+        return pd.DataFrame(cols)
 
     return fused_udf
 
 
-def with_signatures_fused(df: DataFrame, cfg: SimilarityConfig) -> DataFrame:
-    """Adds ``shingles``/``n_shingles``/``minhash``/``simhash`` from the
-    ``with_token_hashes`` prelude in one fused pandas-UDF pass."""
-    sig = make_fused_signatures_udf(cfg)(F.col("token_hashes"), F.col("char_hashes"))
+def with_signatures_fused(df: DataFrame, cfg: SimilarityConfig,
+                          include_shingles: bool = True) -> DataFrame:
+    """Adds [``shingles``/]``n_shingles``/``minhash``/``simhash`` from
+    the ``with_token_hashes`` prelude in one fused pandas-UDF pass."""
+    sig = make_fused_signatures_udf(cfg, include_shingles)(
+        F.col("token_hashes"), F.col("char_hashes")
+    )
+    out = df.withColumn("_sig", sig)
+    if include_shingles:
+        out = out.withColumn("shingles", F.col("_sig.shingles"))
     return (
-        df.withColumn("_sig", sig)
-        .withColumn("shingles", F.col("_sig.shingles"))
-        .withColumn("n_shingles", F.col("_sig.n_shingles"))
+        out.withColumn("n_shingles", F.col("_sig.n_shingles"))
         .withColumn("minhash", F.col("_sig.minhash"))
         .withColumn("simhash", F.col("_sig.simhash"))
         .drop("_sig")
     )
 
 
-def signature_table(reps: DataFrame, cfg: SimilarityConfig) -> DataFrame:
+def make_shingles_udf(cfg: SimilarityConfig):
+    """Shingle-set-only pandas UDF — same kernel, same ids, bit-identical
+    to the ``shingles`` column of the fused pass (deterministic rolling
+    positional hash + char-gram fallback)."""
+    from uncp_spark.functions.kernels import shingle_ids_batch, shingle_weights
+
+    k = cfg.shingle_k
+    weights = shingle_weights(k, cfg.seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def shingles_udf(token_hashes: pd.Series, char_hashes: pd.Series) -> pd.Series:
+        th = [
+            np.asarray(s, dtype=np.int64) if s is not None else np.empty(0, np.int64)
+            for s in token_hashes
+        ]
+        sh = shingle_ids_batch(th, k, weights)
+        for i, ch in enumerate(char_hashes):
+            if ch is not None:
+                sh[i] = np.unique(np.asarray(ch, dtype=np.int64))
+        return pd.Series(list(sh))
+
+    return shingles_udf
+
+
+def shingle_sets(files: DataFrame, cfg: SimilarityConfig,
+                 ids: DataFrame | None = None) -> DataFrame:
+    """(file_id, shingles) recomputed from content — the RESIDUAL path.
+
+    The signature stage does not ship its shingle arrays downstream:
+    they are the dominant Arrow-transfer + checkpoint-write payload
+    (~8 B/token/row — same order as the content itself), and only the
+    small residual-candidate population ever needs them (exact
+    containment / exact Jaccard in verify phase 2). Recomputing for
+    exactly that population — ``ids`` semi-join, then the same
+    deterministic kernel — trades a tiny bounded UDF pass for removing
+    the fat column from the signature stage's shuffle/write entirely;
+    at 10^12 files that column is petabytes that never existed.
+
+    Ids are bit-identical to what the fused pass produced (same
+    token-hash prelude, same kernel, pinned seed), so exact-Jaccard /
+    containment values are unchanged. ``cfg.shingle_impl`` selects the
+    matching implementation ("expr" recomputes via the expression
+    path's xxhash64-of-slice ids)."""
+    src = files.select("file_id", "content")
+    if ids is not None:
+        src = src.join(ids.select("file_id"), "file_id", "left_semi")
+    from uncp_spark.operators.shingle import with_shingles, with_token_hashes
+
+    if cfg.shingle_impl == "expr":
+        return with_shingles(src, cfg).select("file_id", "shingles")
+    pre = with_token_hashes(src, cfg)
+    return pre.select(
+        "file_id",
+        make_shingles_udf(cfg)(
+            F.col("token_hashes"), F.col("char_hashes")
+        ).alias("shingles"),
+    )
+
+
+def signature_table(reps: DataFrame, cfg: SimilarityConfig,
+                    include_shingles: bool = True) -> DataFrame:
     """The signature stage, impl selected by ``cfg.shingle_impl`` — the
-    one entry point pipeline/bench/queries share."""
+    one entry point pipeline/bench/queries share.
+
+    ``include_shingles=False`` is the production shape: fixed-width
+    output only (see make_fused_signatures_udf); the expression impl
+    simply drops the column (it never crosses Arrow there)."""
     from uncp_spark.operators.shingle import with_shingles, with_token_hashes
 
     if cfg.shingle_impl == "fused":
-        return with_signatures_fused(with_token_hashes(reps, cfg), cfg)
+        return with_signatures_fused(
+            with_token_hashes(reps, cfg), cfg, include_shingles
+        )
     if cfg.shingle_impl == "expr":
-        return with_signatures(with_shingles(reps, cfg), cfg)
+        out = with_signatures(with_shingles(reps, cfg), cfg)
+        return out if include_shingles else out.drop("shingles")
     raise ValueError(f"unknown shingle_impl: {cfg.shingle_impl!r}")

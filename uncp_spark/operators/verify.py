@@ -46,21 +46,29 @@ def release_scored_cache() -> None:
 
 
 def score_pairs(
-    pairs: DataFrame, sigs: DataFrame, cfg: SimilarityConfig
+    pairs: DataFrame, sigs: DataFrame, cfg: SimilarityConfig,
+    files: DataFrame | None = None,
 ) -> DataFrame:
-    """pairs(src, dst) × sigs(file_id, minhash, simhash, shingles) →
+    """pairs(src, dst) × sigs(file_id, minhash, simhash[, shingles]) →
     scored pairs.
 
     Two-phase to keep the shuffle thin: phase 1 joins only the fixed-
     width signatures (minhash ~1 KB + simhash 8 B per side) and decides
     est_jaccard / hamming. The variable-width shingle arrays — the
-    dominant shuffle payload — join only for pairs NOT already accepted
-    by phase 1 (containment can only *add* acceptances, so the accepted
-    edge set is identical to a single-phase evaluation; phase-1 winners
-    report containment = NULL, meaning 'not evaluated'). The shingle
-    join is further narrowed with a semi-join on the residual pairs'
-    member ids, so the signature table is scanned once for shingles and
-    the shingle shuffle is sized to the residual set, not the corpus."""
+    dominant shuffle payload — are needed only for pairs NOT already
+    accepted by phase 1 (containment can only *add* acceptances, so the
+    accepted edge set is identical to a single-phase evaluation;
+    phase-1 winners report containment = NULL, meaning 'not
+    evaluated'), and only for those pairs' member ids.
+
+    Shingle source, in preference order:
+      - ``sigs.shingles`` when the caller kept the column (oracle
+        queries do) — one column-pruned scan, semi-joined to residuals;
+      - otherwise RECOMPUTED from ``files`` content for exactly the
+        residual member set (signatures.shingle_sets — bit-identical
+        ids, same kernel). This is the production path: the signature
+        stage then never ships its fat shingle arrays through Arrow or
+        into the checkpoint at all."""
     mh = sigs.select("file_id", "minhash", "simhash")
     a = mh.select(
         F.col("file_id").alias("src"),
@@ -99,7 +107,22 @@ def score_pairs(
         .unionByName(residual_base.select(F.col("dst").alias("file_id")))
         .distinct()
     )
-    sg = sigs.select("file_id", "shingles").join(need, "file_id", "left_semi")
+    if "shingles" in sigs.columns:
+        sg = sigs.select("file_id", "shingles").join(need, "file_id", "left_semi")
+    elif files is not None:
+        from uncp_spark.operators.signatures import shingle_sets
+
+        # persisted: BOTH join sides (sa, sb) scan sg — without the
+        # pin the tokenize+UDF recompute would run twice
+        sg = shingle_sets(files, cfg, ids=need).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _phase1_handles.append(sg)
+    else:
+        raise ValueError(
+            "sigs has no 'shingles' column and no files frame was given "
+            "to recompute them for the residual set"
+        )
     sa = sg.select(F.col("file_id").alias("src"), F.col("shingles").alias("sg_a"))
     sb = sg.select(F.col("file_id").alias("dst"), F.col("shingles").alias("sg_b"))
     inter = F.size(F.array_intersect("sg_a", "sg_b")).cast("double")

@@ -66,11 +66,15 @@ from uncp_spark.operators.ingest import ingest
 from uncp_spark.operators.lsh import band_keys, candidate_pairs
 from uncp_spark.operators.priority import cluster_stats, priority_ranked
 from uncp_spark.operators.signatures import signature_table
-from uncp_spark.plans.registry import get_scorer
+from uncp_spark.plans.registry import apply_scorer, get_scorer
 from uncp_spark.sources import checkpoint as ckpt
 
-SIG_COLS = ["file_id", "repo", "path", "lang", "size", "depth",
-            "minhash", "simhash", "shingles", "n_shingles"]
+# identity columns of a signature row; everything else in the stored
+# sig schema is content-derived payload (minhash / simhash /
+# n_shingles / shingles when an older checkpoint kept them) — the
+# incremental tiers are schema-driven off the existing checkpoint so
+# both payload shapes resume cleanly
+SIG_IDENTITY = ("file_id", "repo", "path", "lang", "size", "depth")
 VKEY = ["repo", "path", "commit"]
 TMP_SUFFIX = ".incr_tmp"
 STAGES = ["files", "sigs", "bands", "pairs", "edges", "labels", "clusters"]
@@ -188,6 +192,8 @@ def incremental_update(
 
     # ------------------------------- tier 2: signatures (delta UDF only)
     with timed("sigs"):
+        sig_cols = list(sigs_old.columns)  # schema-driven (see SIG_IDENTITY)
+        payload_cols = [c for c in sig_cols if c not in SIG_IDENTITY]
         # content-level representative: min file_id per sha in the NEW
         # corpus (2-column agg — only 16-byte rows cross the exchange)
         new_rep = (
@@ -206,7 +212,7 @@ def incremental_update(
         # signature; pure joins, no recompute)
         rebind_sha = (
             sig_sha.join(dead_ids, "file_id", "left_semi")
-            .select("sha256", "minhash", "simhash", "shingles", "n_shingles")
+            .select("sha256", *payload_cols)
             .join(new_rep, "sha256")
             .join(
                 files_new.select(
@@ -217,7 +223,7 @@ def incremental_update(
             )
             .withColumnRenamed("rep_id", "file_id")
         )
-        rebind = rebind_sha.select(*SIG_COLS)
+        rebind = rebind_sha.select(*sig_cols)
         # genuinely new content: shas with no surviving or rebindable sig
         known_shas = (
             sig_alive.select("sha256")
@@ -234,11 +240,17 @@ def incremental_update(
                     "sha256", "size", "depth")
             .join(fresh_rep_ids, "file_id", "left_semi")
         )
-        fresh_sigs = signature_table(fresh_reps, cfg).select(*SIG_COLS).persist()
+        fresh_sigs = (
+            signature_table(
+                fresh_reps, cfg, include_shingles="shingles" in sig_cols
+            )
+            .select(*sig_cols)
+            .persist()
+        )
         delta_report["sigs_fresh"] = fresh_sigs.count()  # the ONLY UDF rows
         delta_report["sigs_rebound"] = rebind.count()
         sigs_new, tok_sigs = write_stage(
-            sig_alive.select(*SIG_COLS)
+            sig_alive.select(*sig_cols)
             .unionByName(rebind)
             .unionByName(fresh_sigs),
             "sigs", tok_files,
@@ -299,9 +311,9 @@ def incremental_update(
 
     # ------------------------------- tier 4: edges (delta scoring only)
     with timed("edges"):
-        near_delta = get_scorer(scorer).fn(pairs_delta, sigs_new, cfg).select(
-            "src", "dst", "score", "edge_type"
-        )
+        near_delta = apply_scorer(
+            get_scorer(scorer), pairs_delta, sigs_new, cfg, files=files_new
+        ).select("src", "dst", "score", "edge_type")
         # exact-tier delta: each delta file links to its sha's new
         # representative; when the representative CHANGED (a smaller id
         # arrived, or the old rep died) a bridge edge keeps the old star

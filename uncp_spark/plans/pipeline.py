@@ -43,12 +43,18 @@ from uncp_spark.operators.lsh import candidate_pairs
 from uncp_spark.operators.signatures import signature_table
 from uncp_spark.operators.priority import cluster_stats, priority_ranked, register_views
 
-from uncp_spark.plans.registry import get_scorer
+from uncp_spark.plans.registry import apply_scorer, get_scorer
 from uncp_spark.session import ensure_parallelism
 from uncp_spark.sources import checkpoint as ckpt
 
+# NO ``shingles`` column: the fat per-token arrays are the dominant
+# Arrow-transfer + checkpoint-write payload of the signature stage
+# (same order as the content itself — petabytes at 10^12 files) and
+# only residual verify candidates ever need them. The scorer recomputes
+# them for exactly that set from content (signatures.shingle_sets,
+# bit-identical ids); the signature stage ships fixed-width columns only.
 SIG_COLS = ["file_id", "repo", "path", "lang", "size", "depth",
-            "minhash", "simhash", "shingles", "n_shingles"]
+            "minhash", "simhash", "n_shingles"]
 
 
 @dataclass(frozen=True)
@@ -84,7 +90,9 @@ class DedupPipeline:
 
         def build_sigs(spark, ctx):
             reps = ensure_parallelism(exact_representatives(ctx["files"]))
-            return signature_table(reps, cfg).select(*SIG_COLS)
+            return signature_table(
+                reps, cfg, include_shingles=False
+            ).select(*SIG_COLS)
 
         def build_pairs(spark, ctx):
             # band table persisted alongside the pairs stage: computed
@@ -104,7 +112,10 @@ class DedupPipeline:
             return pairs
 
         def build_edges(spark, ctx):
-            near = get_scorer(self.scorer).fn(ctx["pairs"], ctx["sigs"], cfg)
+            near = apply_scorer(
+                get_scorer(self.scorer), ctx["pairs"], ctx["sigs"], cfg,
+                files=ctx["files"],
+            )
             exact = exact_cluster_edges(ctx["files"])
             return near.select("src", "dst", "score", "edge_type").unionByName(
                 exact.select("src", "dst", "score", "edge_type")

@@ -27,10 +27,14 @@ from uncp_spark.config import SimilarityConfig
 
 # ------------------------------------------------------------- scorers (X1)
 
-# a scorer takes (pairs(src,dst,...), sigs, cfg) and returns accepted
-# edges (src, dst, score, edge_type) — the vectorized analogue of
-# SimilarityProvider.compute_similarity over a whole candidate table
-ScorerFn = Callable[[DataFrame, DataFrame, SimilarityConfig], DataFrame]
+# a scorer takes (pairs(src,dst,...), sigs, cfg[, files]) and returns
+# accepted edges (src, dst, score, edge_type) — the vectorized analogue
+# of SimilarityProvider.compute_similarity over a whole candidate table.
+# The optional 4th param is the files table (content), for scorers that
+# recompute exact shingle sets for residual candidates instead of
+# requiring the signature table to carry them (the production default);
+# 3-arg scorers remain valid (apply_scorer dispatches by arity).
+ScorerFn = Callable[..., DataFrame]
 
 
 @dataclass(frozen=True)
@@ -62,6 +66,21 @@ def get_scorer(name: str) -> ScorerSpec:
 
 def list_scorers() -> list[ScorerSpec]:
     return sorted(_SCORERS.values(), key=lambda s: -s.priority)
+
+
+def apply_scorer(spec: ScorerSpec, pairs: DataFrame, sigs: DataFrame,
+                 cfg: SimilarityConfig, files: DataFrame | None = None) -> DataFrame:
+    """Invoke a scorer, passing ``files`` only when its signature takes
+    a 4th parameter — keeps pre-existing 3-arg custom scorers working."""
+    import inspect
+
+    try:
+        n_params = len(inspect.signature(spec.fn).parameters)
+    except (TypeError, ValueError):
+        n_params = 3
+    if n_params >= 4:
+        return spec.fn(pairs, sigs, cfg, files)
+    return spec.fn(pairs, sigs, cfg)
 
 
 # ----------------------------------------------------------- relations (X2)
@@ -129,8 +148,8 @@ def _register_builtins() -> None:
     )
     from uncp_spark.operators.verify import accept_edges, score_pairs
 
-    def minhash_scorer(pairs, sigs, cfg):
-        return accept_edges(score_pairs(pairs, sigs, cfg), cfg)
+    def minhash_scorer(pairs, sigs, cfg, files=None):
+        return accept_edges(score_pairs(pairs, sigs, cfg, files), cfg)
 
     register_scorer(
         "minhash_simhash_containment", minhash_scorer, priority=100,
