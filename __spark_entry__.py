@@ -599,7 +599,10 @@ def _near_dup_keyed(spark, sf_dir):
     ``repo|path`` member string, an order-isomorphic relabeling that
     preserves the partition exactly (the thing the north_rule's
     "matching cluster assignments" gate compares)."""
-    labeled = _near_dup_labeled(spark, sf_dir)
+    # persisted: ckey aggregates the SAME labeled plan the join streams,
+    # so without the pin the whole ingest→signature→LSH→verify lineage
+    # would execute twice per oracle query
+    labeled = _near_dup_labeled(spark, sf_dir).persist()
     ckey = labeled.groupBy("cluster_id").agg(
         F.min(F.concat_ws("|", "repo", "path")).alias("cluster_key")
     )

@@ -196,8 +196,11 @@ def main() -> None:
         clusters = timed("priority", build_priority)
         n_clusters = clusters.count()
 
-        if pass_i < passes - 1:
+        if pass_i == 0:
+            # snapshot ONLY the first (cold) pass — with passes > 2 the
+            # later warm passes must not overwrite the cold numbers
             cold_timings = dict(timings)
+        if pass_i < passes - 1:
             for df in (files, ec, pairs, edges, labels, clusters):
                 df.unpersist(blocking=True)
             spark.catalog.clearCache()

@@ -159,6 +159,76 @@ def test_incremental_checkpoints_resume_as_batch(spark, incr_state):
     assert all(flags.values()), flags
 
 
+def _tiny_corpus(spark, rows):
+    return spark.createDataFrame(rows, REPOS_SCHEMA).repartition(4)
+
+
+def test_delete_rep_with_multiple_survivors_keeps_cluster(spark, tmp_path):
+    """Deleting an exact group's REPRESENTATIVE while >= 2 copies
+    survive: the old star routed every group edge through the dead rep,
+    so dropping its edges would otherwise shatter the survivors into
+    singletons. The re-star repair must keep them clustered, equal to a
+    full recompute."""
+    copies = [
+        (f"org{i}/p", "same.txt", "c1", "text",
+         "identical shared content " * 40, "exact", 1)
+        for i in range(3)
+    ]
+    uniq = [
+        (f"orgu{i}/p", f"u{i}.txt", "c1", "text",
+         f"unrelated text number {i} " * 30, "unique", -1)
+        for i in range(2)
+    ]
+    rows = copies + uniq
+    fid = {
+        (r.repo, r.path): r.fid
+        for r in _tiny_corpus(spark, copies)
+        .select("repo", "path", F.xxhash64("repo", "path").alias("fid"))
+        .collect()
+    }
+    rep = min(copies, key=lambda r: fid[(r[0], r[1])])
+    v2_rows = [r for r in rows if (r[0], r[1]) != (rep[0], rep[1])]
+
+    base_a = str(tmp_path / "a")
+    base_b = str(tmp_path / "b")
+    DedupPipeline(base_dir=base_a).run(
+        spark, _tiny_corpus(spark, rows), input_token="v1",
+        register_sql_views=False, progress=False,
+    )
+    incr = incremental_update(
+        spark, base_a, _tiny_corpus(spark, v2_rows), input_token="v2"
+    )
+    full = DedupPipeline(base_dir=base_b).run(
+        spark, _tiny_corpus(spark, v2_rows), input_token="v2",
+        register_sql_views=False, progress=False,
+    )
+    assert _membership(incr) == _membership(full)
+    # the two surviving copies share one cluster
+    surv = [
+        incr_cid for (repo, path), incr_cid in _membership(incr).items()
+        if path == "same.txt"
+    ]
+    assert len(surv) == 2 and len(set(surv)) == 1
+
+
+def test_incremental_rejects_config_mismatch(spark, tmp_path, incr_state):
+    from uncp_spark.config import SimilarityConfig
+
+    other = SimilarityConfig(num_perm=64, bands=16, rows_per_band=4)
+    with pytest.raises(ValueError, match="config mismatch"):
+        incremental_update(
+            spark, incr_state["base_a"], incr_state["v2"], cfg=other
+        )
+
+
+def test_incremental_rejects_missing_checkpoint(spark, tmp_path):
+    with pytest.raises(ValueError, match="missing or incomplete"):
+        incremental_update(
+            spark, str(tmp_path / "nothing_here"),
+            spark.createDataFrame([], REPOS_SCHEMA),
+        )
+
+
 def test_incremental_dead_files_fully_retired(incr_state):
     """Deleted/changed ids appear in no user-facing output and in none
     of the maintained tables' live rows."""

@@ -16,6 +16,12 @@ from uncp_spark.plans.pipeline import DedupPipeline
 from uncp_spark.plans.progress import read_progress
 
 
+def test_read_progress_empty_when_no_run_yet(spark, tmpdir_path):
+    df = read_progress(spark, tmpdir_path)
+    assert df.count() == 0
+    assert "pipeline_stage" in df.columns
+
+
 def test_progress_rows_readable_mid_pipeline(spark, repos_df, tmpdir_path):
     path = os.path.join(tmpdir_path, "_metrics", "progress.jsonl")
     done: dict = {}

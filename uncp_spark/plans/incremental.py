@@ -164,6 +164,28 @@ def incremental_update(
             ckpt.manifest_token(tmp_dir(name)),
         )
 
+    # Guard the signature space: merging delta signatures computed under
+    # a DIFFERENT config (perm count, seed, bands, thresholds) into a
+    # checkpointed chain silently produces bands that can never collide
+    # with the old corpus — the batch pipeline's is_complete() would
+    # reject the mismatch, so the incremental path must too.
+    for _st in ("files", "sigs", "pairs", "edges", "labels"):
+        _m = ckpt.read_manifest(stage_dir(_st))
+        if _m is None or not os.path.exists(
+            os.path.join(stage_dir(_st), "_SUCCESS")
+        ):
+            raise ValueError(
+                f"incremental_update requires a completed batch checkpoint; "
+                f"stage {_st!r} at {stage_dir(_st)} is missing or incomplete"
+            )
+        if _m.get("config_hash") != chash:
+            raise ValueError(
+                f"config mismatch: checkpoint stage {_st!r} was built with "
+                f"config_hash={_m.get('config_hash')!r} but this update uses "
+                f"{chash!r} — rerun the batch pipeline (or pass the original "
+                f"SimilarityConfig) instead of mixing signature spaces"
+            )
+
     files_old = ckpt.read_checkpoint(spark, stage_dir("files"))
     sigs_old = ckpt.read_checkpoint(spark, stage_dir("sigs"))
     pairs_old = ckpt.read_checkpoint(spark, stage_dir("pairs"))
@@ -303,6 +325,22 @@ def incremental_update(
             .persist()
         )
         delta_report["pairs_delta"] = pairs_delta.count()
+        # MERGE the skew report: `hot` covers only delta-affected
+        # buckets; replacing the corpus-wide batch report with it would
+        # silently erase every previously-reported hot bucket. Keep old
+        # rows for buckets that are untouched AND still exist, refresh
+        # the affected ones.
+        hot_path = stage_dir("hot_buckets")
+        if os.path.exists(os.path.join(hot_path, "_SUCCESS")):
+            hot_old = spark.read.parquet(hot_path)
+            hot_kept = (
+                hot_old.join(delta_buckets, ["band", "band_hash"], "left_anti")
+                .join(
+                    bands_new.select("band", "band_hash").distinct(),
+                    ["band", "band_hash"], "left_semi",
+                )
+            )
+            hot = hot_kept.unionByName(hot)
         hot.write.mode("overwrite").parquet(tmp_dir("hot_buckets"))
         pairs_new, tok_pairs = write_stage(
             _drop_touching(pairs_old, dead_ids).unionByName(pairs_delta),
@@ -341,8 +379,37 @@ def incremental_update(
                 F.greatest("rep_id", "old_rep").alias("dst"),
             )
         )
+        # a dead REPRESENTATIVE orphans every surviving copy of its sha:
+        # the old star routed all of the group's edges through it, and
+        # _drop_touching removes them all (three survivors Y<Z<W would
+        # otherwise come apart into singletons — only rep death does
+        # this; losing a LEAF only disconnects the dead leaf itself).
+        # Re-star the survivors of dead-rep shas onto the new rep.
+        # Bounded by the delta: only shas that lost their old min-id
+        # member appear.
+        old_rep_all = (
+            files_old.select("sha256", "file_id")
+            .groupBy("sha256")
+            .agg(F.min("file_id").alias("old_rep_id"))
+        )
+        dead_rep_shas = (
+            old_rep_all.join(
+                dead_ids.withColumnRenamed("file_id", "old_rep_id"),
+                "old_rep_id", "left_semi",
+            ).select("sha256")
+        )
+        restar = (
+            survivors.select("sha256", "file_id")
+            .join(dead_rep_shas, "sha256", "left_semi")
+            .join(new_rep, "sha256")
+            .filter(F.col("file_id") != F.col("rep_id"))
+            .select(
+                F.least("file_id", "rep_id").alias("src"),
+                F.greatest("file_id", "rep_id").alias("dst"),
+            )
+        )
         exact_delta = (
-            star_delta.unionByName(bridge).distinct()
+            star_delta.unionByName(bridge).unionByName(restar).distinct()
             .select("src", "dst", F.lit(1.0).alias("score"),
                     F.lit("exact").alias("edge_type"))
         )

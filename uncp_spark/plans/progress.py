@@ -133,8 +133,11 @@ class ProgressReporter:
 
 
 def read_progress(spark: SparkSession, base_dir: str) -> DataFrame:
-    """The live metrics table as a DataFrame (queryable mid-run)."""
+    """The live metrics table as a DataFrame (queryable mid-run; zero
+    rows — not an error — when no run has emitted progress yet)."""
     path = os.path.join(base_dir, "_metrics", "progress.jsonl")
+    if not os.path.exists(path):
+        return spark.createDataFrame([], PROGRESS_SCHEMA)
     return spark.read.schema(PROGRESS_SCHEMA).json(path)
 
 

@@ -70,17 +70,33 @@ def list_scorers() -> list[ScorerSpec]:
 
 def apply_scorer(spec: ScorerSpec, pairs: DataFrame, sigs: DataFrame,
                  cfg: SimilarityConfig, files: DataFrame | None = None) -> DataFrame:
-    """Invoke a scorer, passing ``files`` only when its signature takes
-    a 4th parameter — keeps pre-existing 3-arg custom scorers working."""
+    """Invoke a scorer, passing ``files`` only when its signature can
+    accept it — keeps pre-existing 3-arg custom scorers working.
+
+    Dispatch binds against the actual signature rather than counting
+    parameters, so ``*args``/``**kwargs`` scorers receive ``files``
+    positionally, a keyword-only ``files`` parameter receives it by
+    name, and plain 3-arg scorers are called without it."""
     import inspect
 
     try:
-        n_params = len(inspect.signature(spec.fn).parameters)
+        sig = inspect.signature(spec.fn)
     except (TypeError, ValueError):
-        n_params = 3
-    if n_params >= 4:
         return spec.fn(pairs, sigs, cfg, files)
-    return spec.fn(pairs, sigs, cfg)
+    for args, kwargs in (
+        ((pairs, sigs, cfg, files), {}),
+        ((pairs, sigs, cfg), {"files": files}),
+        ((pairs, sigs, cfg), {}),
+    ):
+        try:
+            ba = sig.bind(*args, **kwargs)
+        except TypeError:
+            continue
+        return spec.fn(*ba.args, **ba.kwargs)
+    raise TypeError(
+        f"scorer {spec.name!r} signature {sig} cannot accept "
+        "(pairs, sigs, cfg[, files])"
+    )
 
 
 # ----------------------------------------------------------- relations (X2)
