@@ -601,8 +601,13 @@ def _near_dup_keyed(spark, sf_dir):
     "matching cluster assignments" gate compares)."""
     # persisted: ckey aggregates the SAME labeled plan the join streams,
     # so without the pin the whole ingest→signature→LSH→verify lineage
-    # would execute twice per oracle query
+    # would execute twice per oracle query. Registered with the scorer
+    # cache so the next score_pairs/release call retires it — a driver
+    # session running many queries must not accumulate pinned frames.
+    from uncp_spark.operators.verify import _phase1_handles
+
     labeled = _near_dup_labeled(spark, sf_dir).persist()
+    _phase1_handles.append(labeled)
     ckey = labeled.groupBy("cluster_id").agg(
         F.min(F.concat_ws("|", "repo", "path")).alias("cluster_key")
     )
