@@ -229,6 +229,44 @@ def test_incremental_rejects_missing_checkpoint(spark, tmp_path):
         )
 
 
+def test_incremental_preserves_hot_bucket_report(spark, tmp_path):
+    """The skew report is corpus-wide observability: an incremental run
+    that touches none of the hot buckets must carry the batch run's
+    rows forward, not clobber them with its delta-only view."""
+    import os
+
+    from uncp_spark.config import SimilarityConfig
+
+    cfg = SimilarityConfig(hot_band_cap=2)
+    base = "shared near identical content block " * 30
+    rows = [
+        ("o/a", f"v{i}.txt", "c1", "text", base + f"tail variant {i}",
+         "near", 1)
+        for i in range(4)
+    ]
+    v1 = spark.createDataFrame(rows, REPOS_SCHEMA).repartition(4)
+    base_a = str(tmp_path / "hot")
+    DedupPipeline(base_dir=base_a, cfg=cfg).run(
+        spark, v1, input_token="v1", register_sql_views=False, progress=False
+    )
+    hot_path = os.path.join(base_a, "hot_buckets")
+    before = {
+        (r.band, r.band_hash) for r in spark.read.parquet(hot_path).collect()
+    }
+    assert before, "fixture must actually produce hot buckets"
+
+    v2 = spark.createDataFrame(
+        rows + [("o/b", "unrelated.txt", "c1", "text",
+                 "totally different words " * 40, "unique", -1)],
+        REPOS_SCHEMA,
+    ).repartition(4)
+    incremental_update(spark, base_a, v2, cfg=cfg, input_token="v2")
+    after = {
+        (r.band, r.band_hash) for r in spark.read.parquet(hot_path).collect()
+    }
+    assert before <= after, "batch hot-bucket rows were lost in the merge"
+
+
 def test_incremental_dead_files_fully_retired(incr_state):
     """Deleted/changed ids appear in no user-facing output and in none
     of the maintained tables' live rows."""

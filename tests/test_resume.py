@@ -129,3 +129,37 @@ def test_planted_groups_cocluster(first_run):
     split = sum(1 for v in groups.values() if len(v) > 1)
     assert total > 10
     assert split / total <= 0.05, f"{split}/{total} planted groups split"
+
+
+def test_merge_checkpoint_relation_store(spark, tmpdir_path):
+    """S7 relation merge-on-save (uncp src/relations.rs:285-293): a
+    second save's rows win per key, keys only in the first save survive
+    — repeated scans accumulate the union, never replace."""
+    import os
+
+    from uncp_spark.sources import checkpoint as ckpt
+
+    path = os.path.join(tmpdir_path, "same_name")
+    v1 = spark.createDataFrame(
+        [("a.txt", 2, 100), ("b.txt", 3, 300)],
+        "filename_key string, file_count long, total_size long",
+    )
+    ckpt.merge_checkpoint(v1, path, "same_name", "cfg", "t1",
+                          keys=["filename_key"])
+    v2 = spark.createDataFrame(
+        [("b.txt", 5, 999), ("c.txt", 2, 50)],
+        "filename_key string, file_count long, total_size long",
+    )
+    res = ckpt.merge_checkpoint(v2, path, "same_name", "cfg", "t2",
+                                keys=["filename_key"])
+    got = {
+        r.filename_key: (r.file_count, r.total_size)
+        for r in spark.read.parquet(path).collect()
+    }
+    # a: old-only key survives; b: NEW row wins; c: added
+    assert got == {"a.txt": (2, 100), "b.txt": (5, 999), "c.txt": (2, 50)}
+    assert res.rows == 3
+    m = ckpt.read_manifest(path)
+    assert m["input_token"] == "t2" and m["complete"] is True
+    assert not os.path.exists(path + ".merge_tmp")
+    assert not os.path.exists(path + ".merge_old")

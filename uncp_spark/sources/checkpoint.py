@@ -120,6 +120,43 @@ def write_checkpoint(
     return StageResult(name, path, rows, seconds, resumed=False, manifest=manifest)
 
 
+def merge_checkpoint(
+    df: DataFrame,
+    path: str,
+    name: str,
+    config_hash: str,
+    input_token: str,
+    keys: list[str],
+    extra: dict | None = None,
+) -> StageResult:
+    """S7 merge-on-save for relation tables: union the new rows with the
+    existing checkpoint, NEW rows winning per ``keys`` and old-only keys
+    surviving — uncp's relation-store merge across saves
+    (src/relations.rs:285-293 via persist.rs:208-233), so repeated scans
+    accumulate the union of their relations instead of replacing them.
+
+    Written via a tmp sibling + rename swap: the merged plan READS
+    ``path``, so Spark cannot overwrite it in place. At production scale
+    this call is one Iceberg ``MERGE INTO`` keyed on ``keys``."""
+    import shutil
+
+    spark = df.sparkSession
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        old = spark.read.parquet(path)
+        kept = old.join(df.select(*keys).distinct(), list(keys), "left_anti")
+        df = kept.unionByName(df)
+    tmp = path + ".merge_tmp"
+    res = write_checkpoint(df, tmp, name, config_hash, input_token, extra)
+    bak = path + ".merge_old"
+    shutil.rmtree(bak, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak, ignore_errors=True)
+    res.path = path
+    return res
+
+
 def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
