@@ -160,3 +160,17 @@ def test_score_pairs_without_shingles_or_files_raises(spark, repos_df, cfg):
     pairs, _ = candidate_pairs(skinny, cfg)
     with pytest.raises(ValueError, match="shingles"):
         score_pairs(pairs, skinny, cfg)
+
+
+def test_skinny_fused_udf_return_type_excludes_shingle_arrays():
+    """The Arrow-payload contract itself: the production UDF's return
+    struct must not carry the shingle arrays (a select after the UDF
+    cannot remove them from the transfer)."""
+    from uncp_spark.operators.signatures import make_fused_signatures_udf
+
+    skinny = make_fused_signatures_udf(CFG, include_shingles=False).returnType
+    assert [f.name for f in skinny.fields] == ["n_shingles", "minhash", "simhash"]
+    fat = make_fused_signatures_udf(CFG, include_shingles=True).returnType
+    assert [f.name for f in fat.fields] == [
+        "shingles", "n_shingles", "minhash", "simhash"
+    ]
