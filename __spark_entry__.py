@@ -592,6 +592,12 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     )
 
 
+# persisted `labeled` frames of previous keyed queries (retired on the
+# next _near_dup_keyed call so a long driver session doesn't accumulate
+# pinned storage)
+_keyed_handles: list = []
+
+
 def _near_dup_keyed(spark, sf_dir):
     """Full-pipeline cluster membership re-keyed for the oracle: the
     engine's cluster_id is min(file_id)=min(xxhash64) — not computable in
@@ -601,13 +607,19 @@ def _near_dup_keyed(spark, sf_dir):
     "matching cluster assignments" gate compares)."""
     # persisted: ckey aggregates the SAME labeled plan the join streams,
     # so without the pin the whole ingest→signature→LSH→verify lineage
-    # would execute twice per oracle query. Registered with the scorer
-    # cache so the next score_pairs/release call retires it — a driver
-    # session running many queries must not accumulate pinned frames.
-    from uncp_spark.operators.verify import _phase1_handles
-
+    # would execute twice per oracle query. Managed HERE (previous
+    # keyed frame retired when the next keyed query is built) — not via
+    # verify's scorer cache, whose release fires at plan-construction
+    # time of any score_pairs call and could drop the pin before this
+    # query's collect.
+    while _keyed_handles:
+        h = _keyed_handles.pop()
+        try:
+            h.unpersist()
+        except Exception:
+            pass
     labeled = _near_dup_labeled(spark, sf_dir).persist()
-    _phase1_handles.append(labeled)
+    _keyed_handles.append(labeled)
     ckey = labeled.groupBy("cluster_id").agg(
         F.min(F.concat_ws("|", "repo", "path")).alias("cluster_key")
     )

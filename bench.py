@@ -242,22 +242,17 @@ def main() -> None:
         round(sum(cold_timings[k] for k in PIPELINE_KEYS), 3)
         if cold_timings else None
     )
-    # Headline = the FASTER pass, explicitly labeled, with BOTH passes'
-    # numbers in the output. On a quiet host the warm pass wins
-    # (steady-state executors, no first-touch page zeroing); under a
-    # co-tenant burst mid-run either pass can be the noisy one, and
-    # best-of is this repo's established methodology (run_scaling does
-    # best-of-N windows for the same reason). Nothing is hidden:
-    # cold_* and warm_* pipeline numbers are always both emitted.
-    if cold_pipeline_sec is not None and cold_pipeline_sec < warm_pipeline_sec:
-        headline_pass = "cold"
-        pipeline_sec = cold_pipeline_sec
-        queries_out = {**timings,
-                       **{k: cold_timings[k] for k in PIPELINE_KEYS}}
-    else:
-        headline_pass = "warm"
-        pipeline_sec = warm_pipeline_sec
-        queries_out = dict(timings)
+    # Headline = ALWAYS the warm pass (steady-state executors — the
+    # regime a long-lived cluster runs in), labeled, with the cold
+    # pass's aggregate AND per-stage numbers emitted alongside. The
+    # warm pass can catch a co-tenant burst and look worse than cold;
+    # the remedy is best-of-N at the HARNESS level (run_scaling
+    # alternates self-calibrated windows), never min(cold, warm) inside
+    # one run — that would harvest favorable noise and let a scaling
+    # comparison mix a cold arm against a warm arm.
+    headline_pass = "warm" if passes > 1 else "cold"
+    pipeline_sec = warm_pipeline_sec
+    queries_out = dict(timings)
     result = {
         "metric": "dedup_pipeline_e2e",
         "value": pipeline_sec,

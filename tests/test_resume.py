@@ -163,3 +163,73 @@ def test_merge_checkpoint_relation_store(spark, tmpdir_path):
     assert m["input_token"] == "t2" and m["complete"] is True
     assert not os.path.exists(path + ".merge_tmp")
     assert not os.path.exists(path + ".merge_old")
+
+
+def test_merge_checkpoint_recovers_mid_swap_crash(spark, tmpdir_path):
+    """Crash between the two renames leaves .merge_old as the only valid
+    copy; the next merge must restore it and keep accumulating."""
+    import os
+
+    from uncp_spark.sources import checkpoint as ckpt
+
+    path = os.path.join(tmpdir_path, "rel")
+    v1 = spark.createDataFrame([("a", 1)], "k string, v long")
+    ckpt.merge_checkpoint(v1, path, "rel", "cfg", "t1", keys=["k"])
+    # simulate: state renamed away, tmp never landed
+    os.rename(path, path + ".merge_old")
+    v2 = spark.createDataFrame([("b", 2)], "k string, v long")
+    ckpt.merge_checkpoint(v2, path, "rel", "cfg", "t2", keys=["k"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 1, "b": 2}, "accumulated store was lost in the crash"
+    assert not os.path.exists(path + ".merge_old")
+
+
+def test_merge_checkpoint_null_keys_replace_not_duplicate(spark, tmpdir_path):
+    import os
+
+    from uncp_spark.sources import checkpoint as ckpt
+
+    path = os.path.join(tmpdir_path, "nullk")
+    v1 = spark.createDataFrame([(None, 1), ("x", 1)], "k string, v long")
+    ckpt.merge_checkpoint(v1, path, "nullk", "cfg", "t1", keys=["k"])
+    v2 = spark.createDataFrame([(None, 9)], "k string, v long")
+    ckpt.merge_checkpoint(v2, path, "nullk", "cfg", "t2", keys=["k"])
+    rows = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert rows == {(None, 9), ("x", 1)}, rows
+
+
+def test_save_relation_accumulates_across_scans(spark, tmpdir_path):
+    """The registry's merge-on-save surface: two scans' same_name
+    relations accumulate per filename key, the later scan winning on
+    overlap (uncp src/relations.rs:285-293)."""
+    import os
+
+    from uncp_spark.fixtures import FixtureSpec, make_repos
+    from uncp_spark.operators.ingest import ingest
+    from uncp_spark.plans.registry import save_relation
+
+    f1 = ingest(make_repos(spark, FixtureSpec(n_repos=4, files_per_repo=3,
+                                              seed=1)))
+    f2 = ingest(make_repos(spark, FixtureSpec(n_repos=4, files_per_repo=3,
+                                              seed=2)))
+    save_relation("same_name", f1, tmpdir_path, "cfg", "scan1")
+    r2 = save_relation("same_name", f2, tmpdir_path, "cfg", "scan2")
+    store = spark.read.parquet(os.path.join(tmpdir_path, "same_name"))
+    keys = {r.filename_key for r in store.select("filename_key").collect()}
+    k1 = {r.filename_key for r in
+          spark.read.parquet(os.path.join(tmpdir_path, "same_name"))
+          .collect()}
+    only_scan1 = {
+        r.filename_key
+        for r in __import__("uncp_spark.operators.exact",
+                            fromlist=["same_name_groups"])
+        .same_name_groups(f1).select("filename_key").collect()
+    }
+    only_scan2 = {
+        r.filename_key
+        for r in __import__("uncp_spark.operators.exact",
+                            fromlist=["same_name_groups"])
+        .same_name_groups(f2).select("filename_key").collect()
+    }
+    assert keys == only_scan1 | only_scan2
+    assert r2.rows == len(keys)

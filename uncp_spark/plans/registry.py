@@ -108,21 +108,32 @@ RelationProducer = Callable[[DataFrame], DataFrame]
 class RelationSpec:
     """RelationKey parity (src/relations.rs:44-66): name, description,
     schema, version — plus the producer that builds the relation table
-    from the files table."""
+    from the files table and the key columns its persisted store merges
+    on (uncp's relation-store merge across saves,
+    src/relations.rs:285-293)."""
 
     name: str
     description: str
     schema: tuple[str, ...]      # required output column names
     producer: RelationProducer = field(compare=False)
     version: int = 1
+    # merge-on-save identity: a later save's rows win per these columns
+    # (defaults to the first schema column — every uncp relation keys on
+    # its leading group column)
+    merge_keys: tuple[str, ...] = ()
+
+    def effective_merge_keys(self) -> tuple[str, ...]:
+        return self.merge_keys or self.schema[:1]
 
 
 _RELATIONS: dict[str, RelationSpec] = {}
 
 
 def register_relation(name: str, description: str, schema: list[str],
-                      producer: RelationProducer, version: int = 1) -> RelationSpec:
-    spec = RelationSpec(name, description, tuple(schema), producer, version)
+                      producer: RelationProducer, version: int = 1,
+                      merge_keys: list[str] | None = None) -> RelationSpec:
+    spec = RelationSpec(name, description, tuple(schema), producer, version,
+                        tuple(merge_keys or ()))
     _RELATIONS[name] = spec
     return spec
 
@@ -152,6 +163,26 @@ def build_relation(name: str, files: DataFrame) -> DataFrame:
             f"{missing}; got {out.columns}"
         )
     return out
+
+
+def save_relation(name: str, files: DataFrame, store_dir: str,
+                  config_hash: str, input_token: str):
+    """Build a registered relation from this scan's files and MERGE it
+    into its persisted store: a later save's rows win per the spec's
+    merge keys, keys seen only by earlier scans survive — uncp's
+    relation merge-on-save (src/relations.rs:285-293 via
+    persist.rs:208-233), so repeated scans accumulate the union of
+    their relations. Returns the checkpoint StageResult."""
+    import os
+
+    from uncp_spark.sources.checkpoint import merge_checkpoint
+
+    spec = get_relation(name)
+    out = build_relation(name, files)
+    return merge_checkpoint(
+        out, os.path.join(store_dir, name), name, config_hash, input_token,
+        keys=list(spec.effective_merge_keys()),
+    )
 
 
 # ------------------------------------------------------------- built-ins

@@ -136,14 +136,26 @@ def merge_checkpoint(
     accumulate the union of their relations instead of replacing them.
 
     Written via a tmp sibling + rename swap: the merged plan READS
-    ``path``, so Spark cannot overwrite it in place. At production scale
-    this call is one Iceberg ``MERGE INTO`` keyed on ``keys``."""
+    ``path``, so Spark cannot overwrite it in place. A crash between the
+    two renames leaves ``.merge_old`` as the only valid copy —
+    ``recover_merge_target`` (called here first) restores it, so the
+    accumulated store is never silently lost. NULL key values are
+    matched null-safely: a new null-keyed row REPLACES the old one
+    rather than duplicating it. At production scale this call is one
+    Iceberg ``MERGE INTO`` keyed on ``keys``."""
+    import functools
     import shutil
 
+    recover_merge_target(path)
     spark = df.sparkSession
     if os.path.exists(os.path.join(path, "_SUCCESS")):
-        old = spark.read.parquet(path)
-        kept = old.join(df.select(*keys).distinct(), list(keys), "left_anti")
+        old = spark.read.parquet(path).alias("_old")
+        new_keys = df.select(*keys).distinct().alias("_new")
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(f"_old.{k}").eqNullSafe(F.col(f"_new.{k}")) for k in keys],
+        )
+        kept = old.join(new_keys, cond, "left_anti")
         df = kept.unionByName(df)
     tmp = path + ".merge_tmp"
     res = write_checkpoint(df, tmp, name, config_hash, input_token, extra)
@@ -155,6 +167,24 @@ def merge_checkpoint(
     shutil.rmtree(bak, ignore_errors=True)
     res.path = path
     return res
+
+
+def recover_merge_target(path: str) -> None:
+    """Heal merge_checkpoint's two-rename swap after a crash
+    (idempotent): if the live dir is gone/invalid but ``.merge_old`` is
+    a complete checkpoint, restore it; if the swap completed and only
+    cleanup was lost, drop the backup."""
+    import shutil
+
+    bak = path + ".merge_old"
+    if not os.path.exists(bak):
+        return
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(bak, ignore_errors=True)
+    elif os.path.exists(os.path.join(bak, "_SUCCESS")):
+        if os.path.exists(path):
+            shutil.rmtree(path, ignore_errors=True)
+        os.rename(bak, path)
 
 
 def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
