@@ -36,6 +36,7 @@ from uncp_spark.operators.exact import (
     same_name_groups,
     same_size_groups,
 )
+from uncp_spark.operators.containment_index import combined_candidate_pairs
 from uncp_spark.operators.ingest import ingest
 from uncp_spark.operators.lsh import candidate_pairs
 from uncp_spark.operators.priority import cluster_stats, priority_ranked
@@ -58,14 +59,15 @@ def _sigs(files: DataFrame) -> DataFrame:
     reps = ensure_parallelism(exact_representatives(files))
     return signature_table(reps, CFG).select(
         "file_id", "repo", "path", "lang", "size", "depth",
-        "minhash", "simhash", "shingles", "n_shingles", "norm_text",
+        "minhash", "simhash", "shingles", "n_shingles", "bottomk",
+        "norm_text",
     )
 
 
 def _near_dup_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = _files(spark, sf_dir)
     sigs = _sigs(files)
-    pairs, _hot = candidate_pairs(sigs, CFG)
+    pairs, _hot_b, _hot_s = combined_candidate_pairs(sigs, CFG)
     near = accept_edges(score_pairs(pairs, sigs, CFG), CFG)
     edges = near.select("src", "dst").unionByName(
         exact_cluster_edges(files).select("src", "dst")
@@ -636,7 +638,12 @@ def q_near_dup_clusters(spark, sf_dir):
     (seed-pinned signatures; exact-Jaccard ride-along repairs estimate
     undershoot; every overshoot-risk pair here has containment 1.0, so
     both sides accept it), verified empirically at sf0.001 and sf0.01
-    (spark-only = oracle-only = 0, see round-3 notes). A hash match is
+    (spark-only = oracle-only = 0, see round-3 notes). The engine's
+    candidate reach now includes the bottom-m containment-sketch tier
+    (operators/containment_index.py), whose miss probability at this
+    corpus's size ratios (~exp(-256/r), r ≲ 30) is < 1e-3 per pair and
+    0 observed — low-Jaccard containment pairs surface on BOTH sides
+    under the same containment ≥ 0.9 predicate. A hash match is
     therefore a true end-to-end equality of cluster assignments."""
     return _near_dup_keyed(spark, sf_dir).select("repo", "path", "cluster_key")
 
@@ -740,7 +747,9 @@ files AS (
          strlen(content)::BIGINT AS size,
          len(string_split(path, '/'))::INT AS depth,
          regexp_extract(path, '([^/]*)$', 1) AS filename,
-         lower(regexp_extract(path, '([^.]*)$', 1)) AS ext
+         CASE WHEN regexp_matches(filename, '.\\.')
+              THEN lower(regexp_extract(filename, '\\.([^.]*)$', 1))
+              ELSE NULL END AS ext
   FROM repos
 )"""
 
@@ -750,19 +759,36 @@ files AS (
 # over distinct contents (provably equal to the pipeline's accepted set
 # on this corpus — see q_near_dup_clusters), clustered by a recursive
 # transitive-closure CTE, re-keyed by min repo|path member.
+#
+# Sub-5-token files mirror the engine's char-9-gram fallback
+# (operators/shingle.py:47-51) instead of being excluded, so the edge-set
+# equality holds for ANY corpus, short near-dups included. The two
+# shingle classes are provably disjoint across the class boundary, in
+# both systems: engine-side they live in different hash spaces
+# (xxhash64 of a long-array vs of a string); here a 5-token window
+# string of exactly 9 chars must contain 4 spaces (5 one-char tokens)
+# while a sub-5-token file's normalized text has at most 3 token gaps —
+# so a gram can never equal a window string and mixed-class pairs score
+# 0 on both sides.
 _NEARDUP_MEMB = _FILES.replace("WITH ", "WITH RECURSIVE ", 1) + """,
 sh AS (
   SELECT sha256(content) AS sha,
-         list_distinct(list_transform(
-           generate_series(1, len(t) - 4),
-           i -> array_to_string(list_slice(t, i, i + 4), ' ')
-         )) AS s
-  FROM (SELECT content,
-               string_split(
-                 trim(regexp_replace(lower(content), '\\s+', ' ', 'g')), ' '
-               ) AS t
-        FROM (SELECT DISTINCT content FROM files))
-  WHERE len(t) >= 5
+         CASE WHEN len(t) >= 5 THEN
+           list_distinct(list_transform(
+             generate_series(1, len(t) - 4),
+             i -> array_to_string(list_slice(t, i, i + 4), ' ')
+           ))
+         ELSE
+           list_distinct(list_transform(
+             generate_series(1, greatest(1, strlen(nt) - 8)),
+             i -> substr(nt, i, 9)
+           ))
+         END AS s
+  FROM (SELECT content, nt, string_split(nt, ' ') AS t
+        FROM (SELECT content,
+                     trim(regexp_replace(lower(content), '\\s+', ' ', 'g'))
+                       AS nt
+              FROM (SELECT DISTINCT content FROM files)))
 ),
 near AS (
   SELECT a.sha AS sa, b.sha AS sb

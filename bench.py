@@ -36,8 +36,8 @@ from uncp_spark.operators.exact import (
     exact_clusters,
     exact_representatives,
 )
+from uncp_spark.operators.containment_index import combined_candidate_pairs
 from uncp_spark.operators.ingest import ingest
-from uncp_spark.operators.lsh import candidate_pairs
 from uncp_spark.operators.priority import cluster_stats, priority_ranked
 
 from uncp_spark.operators.signatures import signature_table
@@ -128,18 +128,20 @@ def main() -> None:
         return out
 
     repos = bench_corpus(spark, sf_dir, amplify, content_repeat)
-    passes = int(os.environ.get("BENCH_PASSES", "2"))
+    passes = int(os.environ.get("BENCH_PASSES", "4"))
     cold_timings: dict[str, float] = {}
+    pass_timings: list[dict[str, float]] = []
     ckpt_dir = tempfile.mkdtemp(prefix="uncp_bench_")
     sig_path = os.path.join(ckpt_dir, "sigs.parquet")
 
     # --- dedup pipeline, stage by stage (persist barriers = honest
-    # timing). With BENCH_PASSES=2 the whole stage set runs twice and the
-    # SECOND pass is reported: on this sandbox VM, first-touch page
-    # zeroing is serialized at ~60 MB/s, so cold passes measure the
-    # hypervisor, not the engine; long-lived executors on a real cluster
-    # run warm. Cold numbers are kept in `cold_queries`.
+    # timing). Pass 0 is COLD (first-touch page zeroing on this sandbox
+    # VM is serialized at ~60 MB/s, so it measures the hypervisor, not
+    # the engine); passes 1..N-1 are WARM (steady-state executors — the
+    # regime a long-lived cluster runs in). Cold numbers are kept in
+    # `cold_queries`.
     for pass_i in range(passes):
+        timings = {}
         files = timed("ingest", lambda: ingest(repos).persist())
         n_files = files.count()
 
@@ -156,7 +158,7 @@ def main() -> None:
             reps = ensure_parallelism(exact_representatives(files))
             s = signature_table(reps, CFG, include_shingles=False).select(
                 "file_id", "repo", "path", "lang", "size", "depth",
-                "minhash", "simhash", "n_shingles",
+                "minhash", "simhash", "n_shingles", "bottomk",
             )
             s.write.mode("overwrite").parquet(sig_path)
             out = spark.read.parquet(sig_path)
@@ -166,7 +168,8 @@ def main() -> None:
         sigs = timed("signatures", build_sigs)
 
         def build_pairs():
-            p, _hot = candidate_pairs(sigs, CFG)
+            # band tier + containment-sketch tier, same as DedupPipeline
+            p, _hot_b, _hot_s = combined_candidate_pairs(sigs, CFG)
             p = p.persist()
             p.count()
             return p
@@ -196,9 +199,8 @@ def main() -> None:
         clusters = timed("priority", build_priority)
         n_clusters = clusters.count()
 
+        pass_timings.append(dict(timings))
         if pass_i == 0:
-            # snapshot ONLY the first (cold) pass — with passes > 2 the
-            # later warm passes must not overwrite the cold numbers
             cold_timings = dict(timings)
         if pass_i < passes - 1:
             for df in (files, ec, pairs, edges, labels, clusters):
@@ -207,7 +209,25 @@ def main() -> None:
 
     PIPELINE_KEYS = ["ingest", "exact_tier", "signatures", "lsh_pairs",
                      "verify_edges", "connected_components", "priority"]
-    warm_pipeline_sec = round(sum(timings[k] for k in PIPELINE_KEYS), 3)
+
+    def pipe_sec(t: dict) -> float:
+        return round(sum(t[k] for k in PIPELINE_KEYS), 3)
+
+    # Headline = the MEDIAN warm pass (an actual run, so its per-stage
+    # numbers sum to the headline; lower-middle when the count is even).
+    # One warm pass is statistically worthless on this VM — co-tenant
+    # bursts run up to 2.4x — and min() would harvest favorable noise;
+    # the median of >=3 warm passes damps both directions. All per-pass
+    # totals are emitted so measurement health is auditable
+    # (noise_spread = max/min warm).
+    warm_passes = pass_timings[1:] if len(pass_timings) > 1 else pass_timings
+    warm_secs = sorted(pipe_sec(t) for t in warm_passes)
+    median_sec = warm_secs[(len(warm_secs) - 1) // 2]
+    median_pass = next(t for t in warm_passes if pipe_sec(t) == median_sec)
+    warm_pipeline_sec = median_sec
+    noise_spread = (
+        round(warm_secs[-1] / warm_secs[0], 3) if warm_secs[0] else None
+    )
 
     # --- auxiliary operator queries on driver tables
     docs_path = f"{sf_dir}/documents.parquet"
@@ -237,22 +257,12 @@ def main() -> None:
 
     timed("ann_topk", q_ann)
 
-    total = round(sum(timings.values()), 3)
-    cold_pipeline_sec = (
-        round(sum(cold_timings[k] for k in PIPELINE_KEYS), 3)
-        if cold_timings else None
-    )
-    # Headline = ALWAYS the warm pass (steady-state executors — the
-    # regime a long-lived cluster runs in), labeled, with the cold
-    # pass's aggregate AND per-stage numbers emitted alongside. The
-    # warm pass can catch a co-tenant burst and look worse than cold;
-    # the remedy is best-of-N at the HARNESS level (run_scaling
-    # alternates self-calibrated windows), never min(cold, warm) inside
-    # one run — that would harvest favorable noise and let a scaling
-    # comparison mix a cold arm against a warm arm.
-    headline_pass = "warm" if passes > 1 else "cold"
+    aux_timings = {k: v for k, v in timings.items() if k not in PIPELINE_KEYS}
+    total = round(sum(aux_timings.values()) + warm_pipeline_sec, 3)
+    cold_pipeline_sec = pipe_sec(cold_timings) if cold_timings else None
+    headline_pass = "warm_median" if passes > 1 else "cold"
     pipeline_sec = warm_pipeline_sec
-    queries_out = dict(timings)
+    queries_out = {**median_pass, **aux_timings}
     result = {
         "metric": "dedup_pipeline_e2e",
         "value": pipeline_sec,
@@ -275,6 +285,8 @@ def main() -> None:
         "content_repeat": content_repeat,
         "worker_warmup_sec": warmup_sec,
         "passes": passes,
+        "noise_spread": noise_spread,
+        "pass_pipeline_secs": [pipe_sec(t) for t in pass_timings],
         "cold_queries": cold_timings or None,
     }
     spark.stop()

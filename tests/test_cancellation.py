@@ -108,3 +108,77 @@ def test_inflight_cancel_interrupts_running_job(spark):
     # the session must stay usable after a group cancel
     spark.sparkContext.setJobGroup("uncp-after", "post-cancel sanity")
     assert spark.range(10).count() == 10
+
+
+def test_pause_blocks_at_stage_boundary_then_resumes(
+    spark, repos_df, tmpdir_path
+):
+    """T1 Pause/Resume (uncp EngineCommand::Pause, src/engine.rs:66-81):
+    pause() lands while "files" builds → that stage finishes and its
+    checkpoint lands, then the loop blocks at the boundary submitting NO
+    new Spark jobs; resume() continues in-process and the final clusters
+    are byte-identical to an unpaused run."""
+    pipe = DedupPipeline(base_dir=tmpdir_path)
+    token = CancellationToken(group_id="uncp-test-pause")
+    stages = pipe.default_stages()
+    files_spec = stages[0]
+    orig_build = files_spec.build
+
+    def pausing_build(spark_, ctx):
+        token.pause()
+        return orig_build(spark_, ctx)
+
+    stages[0] = StageSpec(
+        files_spec.name, files_spec.deps, pausing_build, files_spec.token_salt
+    )
+    pipe.stages = stages
+    done: dict = {}
+
+    def run():
+        done["out"] = pipe.run(
+            spark, repos_df, input_token="fixture", cancel=token,
+            register_sql_views=False,
+        )
+
+    t = threading.Thread(target=run)
+    t.start()
+    files_manifest = os.path.join(tmpdir_path, "files", "_manifest.json")
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline and not os.path.exists(files_manifest):
+        time.sleep(0.1)
+    assert os.path.exists(files_manifest), "files checkpoint never landed"
+
+    # give the loop time to reach (and sit at) the pause point; while
+    # paused, nothing downstream may start: no sigs dir, no Spark jobs
+    time.sleep(2.0)
+    assert t.is_alive(), "pipeline finished while paused"
+    assert token.paused
+    assert not os.path.exists(os.path.join(tmpdir_path, "sigs"))
+    st = spark.sparkContext.statusTracker()
+    active = st.getActiveJobsIds()
+    assert not active, f"jobs ran while paused: {active}"
+
+    token.resume()
+    t.join(timeout=600)
+    assert not t.is_alive() and "out" in done, "resume did not complete"
+    stages_done = [s["stage"] for s in done["out"]["report"]["stages"]]
+    assert stages_done == ["files", "sigs", "pairs", "edges", "labels",
+                           "clusters"]
+
+    # byte-identical clusters vs an unpaused run of the same input
+    import tempfile
+
+    ref_dir = tempfile.mkdtemp(prefix="uncp_pause_ref_")
+    try:
+        ref = DedupPipeline(base_dir=ref_dir).run(
+            spark, repos_df, input_token="fixture", register_sql_views=False
+        )
+        key = lambda out: sorted(
+            (r["file_id"], r["cluster_id"])
+            for r in out["labeled"].select("file_id", "cluster_id").collect()
+        )
+        assert key(done["out"]) == key(ref)
+    finally:
+        import shutil
+
+        shutil.rmtree(ref_dir, ignore_errors=True)

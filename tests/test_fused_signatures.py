@@ -169,8 +169,14 @@ def test_skinny_fused_udf_return_type_excludes_shingle_arrays():
     from uncp_spark.operators.signatures import make_fused_signatures_udf
 
     skinny = make_fused_signatures_udf(CFG, include_shingles=False).returnType
-    assert [f.name for f in skinny.fields] == ["n_shingles", "minhash", "simhash"]
+    assert [f.name for f in skinny.fields] == [
+        "n_shingles", "minhash", "simhash", "bottomk"
+    ]
     fat = make_fused_signatures_udf(CFG, include_shingles=True).returnType
     assert [f.name for f in fat.fields] == [
-        "shingles", "n_shingles", "minhash", "simhash"
+        "shingles", "n_shingles", "minhash", "simhash", "bottomk"
     ]
+    # bottomk is admissible in the skinny payload because it is BOUNDED:
+    # at most containment_sketch_size longs per row (a fixed-width sketch,
+    # not the unbounded shingle array the contract exists to exclude)
+    assert CFG.containment_sketch_size <= 1024

@@ -51,7 +51,7 @@ def _mutate_v2(spark, rows):
     fid = {
         (r["repo"], r["path"]): r["fid"]
         for r in spark.createDataFrame(pair, REPOS_SCHEMA)
-        .select("repo", "path", F.xxhash64("repo", "path").alias("fid"))
+        .select("repo", "path", F.md5(F.concat_ws("\x00", "repo", "path")).alias("fid"))
         .collect()
     }
     rep_row = min(pair, key=lambda r: fid[(r[0], r[1])])
@@ -183,7 +183,7 @@ def test_delete_rep_with_multiple_survivors_keeps_cluster(spark, tmp_path):
     fid = {
         (r.repo, r.path): r.fid
         for r in _tiny_corpus(spark, copies)
-        .select("repo", "path", F.xxhash64("repo", "path").alias("fid"))
+        .select("repo", "path", F.md5(F.concat_ws("\x00", "repo", "path")).alias("fid"))
         .collect()
     }
     rep = min(copies, key=lambda r: fid[(r[0], r[1])])
@@ -209,6 +209,59 @@ def test_delete_rep_with_multiple_survivors_keeps_cluster(spark, tmp_path):
         if path == "same.txt"
     ]
     assert len(surv) == 2 and len(set(surv)) == 1
+
+
+def test_delete_hot_bucket_star_center_keeps_cluster(spark, tmp_path):
+    """Hot-bucket pairs are a star through the bucket's min-id member.
+    Deleting that CENTER kills every star edge via _drop_touching; the
+    bucket must be treated as affected (it lost a member) so survivors
+    are re-grouped and re-starred onto the new min — otherwise they
+    shatter into singletons while a full recompute keeps them together."""
+    from uncp_spark.config import SimilarityConfig
+
+    cfg = SimilarityConfig(hot_band_cap=2)
+    base = "shared near identical content block " * 30
+    rows = [
+        ("o/a", f"v{i}.txt", "c1", "text", base + f"tail variant {i}",
+         "near", 1)
+        for i in range(4)
+    ] + [
+        ("ou/p", "u.txt", "c1", "text", "totally different words " * 40,
+         "unique", -1)
+    ]
+    fid = {
+        (r.repo, r.path): r.fid
+        for r in _tiny_corpus(spark, rows[:4])
+        .select("repo", "path",
+                F.md5(F.concat_ws("\x00", "repo", "path")).alias("fid"))
+        .collect()
+    }
+    center = min(rows[:4], key=lambda r: fid[(r[0], r[1])])
+    v2_rows = [r for r in rows if (r[0], r[1]) != (center[0], center[1])]
+
+    base_a = str(tmp_path / "a")
+    base_b = str(tmp_path / "b")
+    DedupPipeline(base_dir=base_a, cfg=cfg).run(
+        spark, _tiny_corpus(spark, rows), input_token="v1",
+        register_sql_views=False, progress=False,
+    )
+    # precondition: the near-dup flood actually went through the hot path
+    hot = spark.read.parquet(os.path.join(base_a, "hot_buckets"))
+    assert hot.count() > 0, "fixture must produce hot buckets"
+    incr = incremental_update(
+        spark, base_a, _tiny_corpus(spark, v2_rows), cfg=cfg,
+        input_token="v2",
+    )
+    full = DedupPipeline(base_dir=base_b, cfg=cfg).run(
+        spark, _tiny_corpus(spark, v2_rows), input_token="v2",
+        register_sql_views=False, progress=False,
+    )
+    assert _membership(incr) == _membership(full)
+    surv = [
+        cid for (repo, path), cid in _membership(incr).items()
+        if path.startswith("v")
+    ]
+    assert len(surv) == 3 and len(set(surv)) == 1
 
 
 def test_incremental_rejects_config_mismatch(spark, tmp_path, incr_state):

@@ -46,6 +46,49 @@ def test_ingest_derived_columns(spark, repos_df):
     assert row["size"] > 0
 
 
+def test_ext_null_for_dotless_and_hidden(spark):
+    """Reference Path::extension parity (src/paths.rs:325-340): NULL for
+    dotless names, leading-dot-only names, and directory-borne dots."""
+    rows = [
+        ("r", "LICENSE", None),
+        ("r", "docs/file", None),
+        ("r", ".gitignore", None),
+        ("r", "a.b/file", None),       # dot in the DIRECTORY, not the name
+        ("r", "a.b/c.TXT", "txt"),
+        ("r", "src/mod.rs", "rs"),
+        ("r", "x/.hidden.yml", "yml"),
+    ]
+    df = spark.createDataFrame(
+        [(r, p, "c", "text", "body text here") for r, p, _ in rows],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    got = {r["path"]: r["ext"] for r in ingest(df).select("path", "ext").collect()}
+    for _, path, want in rows:
+        assert got[path] == want, (path, got[path], want)
+
+
+def test_file_id_is_128bit_and_injective_on_repo_path(spark, repos_df):
+    """file_id = md5(repo || NUL || path): 32 hex chars (128 bits — at
+    10^12 files the 64-bit birthday expectation was ~27k silently fused
+    pairs), distinct per (repo, path), and NUL-separated so the pair
+    ('ab', 'c') can never collide with ('a', 'bc')."""
+    import hashlib as h
+
+    files = ingest(repos_df)
+    n_rows = files.count()
+    assert files.select("file_id").distinct().count() == n_rows
+    row = files.select("repo", "path", "file_id").first()
+    want = h.md5(f"{row['repo']}\x00{row['path']}".encode()).hexdigest()
+    assert row["file_id"] == want
+    assert len(row["file_id"]) == 32
+    # boundary-shift pair that a separator-less concat would fuse
+    df = spark.createDataFrame(
+        [("ab", "c", "x", "t", "z"), ("a", "bc", "x", "t", "z")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    assert ingest(df).select("file_id").distinct().count() == 2
+
+
 def test_exact_clusters_vs_bruteforce(spark, repos_df):
     files = ingest(repos_df)
     pdf = files.select("sha256", "path").toPandas()

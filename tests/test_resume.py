@@ -233,3 +233,80 @@ def test_save_relation_accumulates_across_scans(spark, tmpdir_path):
     }
     assert keys == only_scan1 | only_scan2
     assert r2.rows == len(keys)
+
+
+def test_checkpoint_write_is_single_scan(spark, tmpdir_path):
+    """Round-3 verdict defect #6: the post-write per-partition metrics
+    used to be a SECOND full scan of the checkpoint (doubling checkpoint
+    read I/O at 100 TB). Now the write job is the only Spark job a
+    checkpoint costs — rows and per-partition lineage come from the
+    parquet footers (asserted via statusTracker job counts), and the
+    manifest shape is unchanged."""
+    import os
+
+    from uncp_spark.sources import checkpoint as ckpt
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, s string"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("ckpt-single-scan", "checkpoint write probe")
+    try:
+        res = ckpt.write_checkpoint(
+            df, os.path.join(tmpdir_path, "st"), "st", "cfg", "t1"
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("ckpt-single-scan")
+    assert len(jobs) == 1, f"checkpoint write ran {len(jobs)} jobs: {jobs}"
+    assert res.rows == 100
+    pm = res.manifest["partition_metrics"]
+    assert sum(p["rows"] for p in pm) == 100
+    assert all(p["bytes"] > 0 for p in pm)
+    assert [p["partition_id"] for p in pm] == list(range(len(pm)))
+    # footer-derived metrics must agree with an actual scan
+    assert spark.read.parquet(res.path).count() == 100
+
+
+def test_save_relation_version_mismatch_refuses(spark, tmpdir_path):
+    """X2 schema-version enforcement (uncp RelationKey::version,
+    src/relations.rs:58-61; persisted meta version, src/persist.rs:15-20):
+    the store manifest carries the producer's version, and a save from a
+    producer with a DIFFERENT version refuses loudly instead of silently
+    merging rows whose columns changed meaning."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from uncp_spark.fixtures import FixtureSpec, make_repos
+    from uncp_spark.operators.ingest import ingest
+    from uncp_spark.plans.registry import register_relation, save_relation
+    from uncp_spark.sources.checkpoint import read_manifest
+
+    files = ingest(make_repos(spark, FixtureSpec(n_repos=3, files_per_repo=3,
+                                                 seed=5)))
+
+    def producer(f):
+        return f.select(F.col("filename").alias("k"), F.col("size").alias("v"))
+
+    register_relation("ver_probe", "version probe", ["k", "v"], producer,
+                      version=1, merge_keys=["k"])
+    save_relation("ver_probe", files, tmpdir_path, "cfg", "scan1")
+    store = os.path.join(tmpdir_path, "ver_probe")
+    assert read_manifest(store)["relation_version"] == 1
+
+    # same name re-registered at version 2 (columns re-meaning'd)
+    register_relation("ver_probe", "version probe v2", ["k", "v"], producer,
+                      version=2, merge_keys=["k"])
+    with pytest.raises(ValueError, match="version"):
+        save_relation("ver_probe", files, tmpdir_path, "cfg", "scan2")
+    # the v1 store is untouched by the refused save
+    m = read_manifest(store)
+    assert m["relation_version"] == 1 and m["input_token"] == "scan1"
+
+    # back at the matching version, saves keep working
+    register_relation("ver_probe", "version probe", ["k", "v"], producer,
+                      version=1, merge_keys=["k"])
+    save_relation("ver_probe", files, tmpdir_path, "cfg", "scan3")
+    assert read_manifest(store)["input_token"] == "scan3"

@@ -68,6 +68,27 @@ class SimilarityConfig:
     hamming_threshold: int = 3
     containment_threshold: float = 0.9
 
+    # --- containment candidate tier (S4b) ---
+    # MinHash-LSH only surfaces pairs with Jaccard near the band curve's
+    # knee; a 200-line file verbatim inside a 10k-line file has J ≈ 0.02
+    # and never band-collides, yet containment = 1.0 — exactly the
+    # north_rule's "file A = a block of file B plus extra code" case.
+    # The containment tier indexes each file's BOTTOM-m shingle ids
+    # (smallest m int64 ids — a consistent bottom-k sketch, Cohen &
+    # Kaplan 2007): if A ⊆ B, every id of A is in B, and a shared id
+    # joins the pair iff it also ranks in B's bottom m. For size ratio
+    # r = |B|/|A|, P(no shared indexed id) ≈ exp(-m/r): m = 256 reaches
+    # r ≈ 50 at ~0.6% miss, r ≈ 100 at ~8%. Fixed-width (≤ m longs), so
+    # the signature stage stays bounded per row.
+    containment_sketch_size: int = 256
+    # shingle ids shared by more than this many files are boilerplate
+    # (stopword-like windows); their index buckets are dropped AND
+    # REPORTED, mirroring hot_band_cap — a true containment pair shares
+    # ~m/r indexed ids, so losing its most-common ones rarely loses the
+    # pair, and an uncapped common shingle is the one way this index
+    # goes quadratic.
+    hot_shingle_cap: int = 1000
+
     # --- skew handling (M7) ---
     # LSH buckets larger than this are "hot bands" (boilerplate: LICENSE
     # files, generated code). They are not self-joined quadratically;

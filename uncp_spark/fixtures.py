@@ -156,6 +156,43 @@ def generate_repos_rows(spec: FixtureSpec) -> list[tuple]:
     return rows
 
 
+def generate_low_j_containment_rows(
+    n_pairs: int = 12,
+    seed: int = 7,
+    big_lines: int = 350,
+    small_lines: int = 12,
+    n_noise: int = 10,
+) -> list[tuple]:
+    """Planted LOW-JACCARD containment pairs: file A is a contiguous
+    line block of file B at size ratio ~big_lines/small_lines (~30:1 by
+    default), so token Jaccard ≈ 0.03 — far below MinHash-LSH band
+    reach — while shingle containment is exactly 1.0 (a contiguous
+    token subsequence contributes a subset of B's 5-token windows).
+    This is the north_rule's "file A = a block of file B plus extra
+    code" case that the planted ``contained`` class (small appended
+    tail ⇒ HIGH Jaccard) does not cover. Kept out of
+    ``generate_repos_rows`` so existing fixture corpora stay
+    byte-identical (same rng consumption)."""
+    rng = random.Random(seed)
+    rows: list[tuple] = []
+    for g in range(n_pairs):
+        big = _gen_lines(rng, big_lines)
+        lo = rng.randint(0, big_lines - small_lines)
+        small = big[lo:lo + small_lines]
+        repo = f"orgc/proj{g}"
+        commit = _commit_for(repo, seed)
+        rows.append((repo, f"src/big_{g}.py", commit, "python",
+                     "\n".join(big), "contained_low_j", 10_000 + g))
+        rows.append((repo, f"blocks/small_{g}.py", commit, "python",
+                     "\n".join(small), "contained_low_j", 10_000 + g))
+    for u in range(n_noise):
+        repo = f"orgu/proj{u}"
+        rows.append((repo, f"misc/u_{u}.txt", _commit_for(repo, seed),
+                     "text", "\n".join(_gen_lines(rng, rng.randint(20, 80))),
+                     "unique", -1))
+    return rows
+
+
 def make_repos(spark: SparkSession, spec: FixtureSpec | None = None) -> DataFrame:
     """The planted-duplicate fixture table, as a DataFrame."""
     spec = spec or FixtureSpec()

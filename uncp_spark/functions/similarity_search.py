@@ -18,6 +18,8 @@ embedding column) is `ann_topk` with a similarity floor.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -85,35 +87,108 @@ def rp_lsh_buckets(
     return df.select("*", F.posexplode(sig).alias("table", "bucket"))
 
 
-def ann_topk(
-    corpus: DataFrame, k: int, dim: int, bits: int = 12, tables: int = 8,
+def derive_rp_bits(n_rows: int, target_bucket: int = 128,
+                   lo: int = 6, hi: int = 24) -> int:
+    """Signature width scaling with corpus size: avg bucket population is
+    n / 2^bits per table, so bits = ceil(log2(n / target)). A fixed
+    bits=12 at 10^9 vectors means ~244k vectors/bucket/table — quadratic
+    pair blowup; at 10^9 this returns 23. Clamped: below ``lo`` the angle
+    resolution is useless, above ``hi`` buckets are so fine that recall
+    needs more tables than anyone runs."""
+    return max(lo, min(hi, math.ceil(math.log2(max(n_rows, 2) / target_bucket))))
+
+
+def ann_candidate_ids(
+    corpus: DataFrame, dim: int, bits: int, tables: int = 8,
     seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
-    min_cosine: float | None = None,
-) -> DataFrame:
+    bucket_cap: int = 4096,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (cand_ids(vec_id, nbr_id) deduped across tables, hot_report).
+
+    Skew discipline mirrors the text tier's ``hot_band_cap``: bucket
+    sizes are counted FIRST (map-side-combinable count), buckets over
+    ``bucket_cap`` are excluded from the self-join AND reported with
+    their (table, bucket, bucket_size) — a duplicate-heavy embedding
+    corpus (10^6 copies of one vector ⇒ one bucket in every table) would
+    otherwise go quadratic silently. Multi-table redundancy means a pair
+    lost to one hot bucket usually survives via its other tables.
+
+    The candidate frames carry ONLY ids: vectors are dropped before the
+    bucket self-join and the cross-table dedup shuffle, and re-joined by
+    the caller — at dim=768 float32 that keeps ~3 KB/row out of the two
+    widest exchanges."""
+    ids = rp_lsh_buckets(
+        corpus.select(F.col(id_col), F.col(vec_col)), dim, bits, tables,
+        seed, vec_col,
+    ).select(F.col(id_col).alias("vec_id"), "table", "bucket")
+    sizes = ids.groupBy("table", "bucket").agg(
+        F.count("*").alias("bucket_size")
+    )
+    ok = sizes.filter(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= bucket_cap)
+    ).select("table", "bucket")
+    hot_report = sizes.filter(F.col("bucket_size") > bucket_cap)
+    inb = ids.join(ok, ["table", "bucket"], "left_semi")
+    other = inb.select(F.col("vec_id").alias("nbr_id"), "table", "bucket")
+    cand_ids = (
+        inb.join(other, ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .select("vec_id", "nbr_id")
+        .dropDuplicates(["vec_id", "nbr_id"])  # union across tables
+    )
+    return cand_ids, hot_report
+
+
+def ann_topk(
+    corpus: DataFrame, k: int, dim: int, bits: int | None = 12,
+    tables: int = 8, seed: int = 42, id_col: str = "vec_id",
+    vec_col: str = "embedding", min_cosine: float | None = None,
+    bucket_cap: int = 4096, return_report: bool = False,
+):
     """Approximate all-pairs top-k via multi-table RP-LSH: candidates are
     the union of same-(table, bucket) pairs over ``tables`` independent
     hash tables (equi-join on the bucket key — the 100 TB-safe plan,
-    collision prob 1-(1-(1-θ/π)^bits)^tables), then exact cosine re-rank."""
-    b = rp_lsh_buckets(corpus, dim, bits, tables, seed, vec_col).select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"), "table", "bucket"
+    collision prob 1-(1-(1-θ/π)^bits)^tables), then exact cosine re-rank.
+
+    ``bits=None`` derives the signature width from the corpus size (one
+    count job) via :func:`derive_rp_bits`. Buckets over ``bucket_cap``
+    are skipped and reported (pass ``return_report=True`` for
+    ``(topk, hot_report)``). Norms are computed once per row, not once
+    per candidate pair."""
+    if bits is None:
+        bits = derive_rp_bits(corpus.count())
+    cand_ids, hot_report = ann_candidate_ids(
+        corpus, dim, bits, tables, seed, id_col, vec_col, bucket_cap
     )
-    other = b.select(
-        F.col("vec_id").alias("nbr_id"), F.col("_v").alias("_nv"), "table", "bucket"
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
     )
     cand = (
-        b.join(other, ["table", "bucket"])
-        .filter(F.col("vec_id") != F.col("nbr_id"))
-        .select("vec_id", "nbr_id", "_v", "_nv")
-        .dropDuplicates(["vec_id", "nbr_id"])  # union across tables
+        cand_ids
+        .join(vecs, "vec_id")
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("nbr_id"),
+                F.col("_v").alias("_nv"),
+                F.col("_n").alias("_nn"),
+            ),
+            "nbr_id",
+        )
         .select(
             "vec_id", "nbr_id",
-            F.round(cosine_similarity_col(F.col("_v"), F.col("_nv")), 6).alias("cosine"),
+            F.round(
+                _dot(F.col("_v"), F.col("_nv")) / (F.col("_n") * F.col("_nn")),
+                6,
+            ).alias("cosine"),
         )
     )
     if min_cosine is not None:
         cand = cand.filter(F.col("cosine") >= min_cosine)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
-    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (topk, hot_report) if return_report else topk
 
 
 def embedding_near_dup_pairs(

@@ -82,7 +82,11 @@ def substring_containment(
             .alias("probe_text"),
         )
     )
+    # id type follows the caller's (file_id is a 128-bit hex string in
+    # the pipeline; tests use longs) — the schema must not pin it
+    id_t = dict(pairs.dtypes)["src"]
     return joined.groupBy("target_id").applyInPandas(
         _check_group,
-        schema="src long, dst long, substr_contained boolean, used_suffix_index boolean",
+        schema=f"src {id_t}, dst {id_t}, "
+               "substr_contained boolean, used_suffix_index boolean",
     )

@@ -1,0 +1,111 @@
+"""S4b — containment candidate generation beyond MinHash-LSH reach.
+
+MinHash-LSH banding surfaces pairs whose JACCARD clears the band curve;
+asymmetric containment pairs (a 200-line file verbatim inside a 10k-line
+file: J ≈ 0.02, containment = 1.0) never band-collide — exactly the
+north_rule's "file A = a block of file B plus extra code" tier (uncp
+DESIGN.md:231-258, designed but never implemented in the reference).
+
+Plan shape (the 100 TB-safe construction):
+
+  index     every file's ``bottomk`` sketch (its m smallest shingle
+            ids — computed for free in the signature stage, fixed-width
+            ≤ m longs) explodes to (shid, file_id) rows; a shared id is
+            evidence two files share content REGARDLESS of size ratio:
+            for A ⊆ B, P(some id of A's sketch ranks in B's bottom m)
+            ≈ 1 - exp(-m / (|B|/|A|)).
+  buckets   groupBy shid. Sizes are counted FIRST (map-side-combinable
+            count, never collect_list on an uncapped key): buckets over
+            ``hot_shingle_cap`` are dropped AND reported — a shingle
+            shared by 10^6 files is boilerplate whose pairs are noise,
+            and the one way this index goes quadratic.
+  pairs     member-set dedup (identical id-arrays recur across a pair's
+            ~m/r shared ids — one cheap shuffle cuts expansion by that
+            factor), then the same O(n)-peak-memory JVM pair expansion
+            as the LSH tier. Never a self-join, never a cross join.
+
+Candidates then flow through the normal verify stage, where exact
+shingle containment (|A ∩ B| / min) decides acceptance — this module
+only proposes, verify disposes, so false candidates cost one residual
+check and true containments are caught at any size ratio the sketch
+reaches (see config.containment_sketch_size for the recall math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from uncp_spark.config import SimilarityConfig
+from uncp_spark.operators.lsh import _explode_pairs
+
+
+def containment_entries(sigs: DataFrame, id_col: str = "file_id") -> DataFrame:
+    """(shid, file_id) inverted-index rows from the bottom-m sketches."""
+    return sigs.select(
+        F.col(id_col).alias("file_id"), F.explode("bottomk").alias("shid")
+    )
+
+
+def containment_candidates(
+    sigs: DataFrame | None,
+    cfg: SimilarityConfig,
+    id_col: str = "file_id",
+    entries: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (pairs(src < dst, from_hot_band=False), hot_shingle_report).
+
+    ``entries``: optional precomputed/persisted (shid, file_id) table —
+    the batch pipeline passes its checkpointed index and the incremental
+    path restricts it to buckets touched by a delta. When given,
+    ``sigs`` is unused (may be None).
+    """
+    ent = entries if entries is not None else containment_entries(sigs, id_col)
+    sizes = ent.groupBy("shid").agg(F.count("*").alias("bucket_size"))
+    ok = sizes.filter(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.hot_shingle_cap)
+    ).select("shid")
+    hot_report = sizes.filter(F.col("bucket_size") > cfg.hot_shingle_cap)
+    # the join on shid partitions entries by shid; the groupBy reuses
+    # that partitioning (no second exchange)
+    buckets = (
+        ent.join(ok, "shid", "left_semi")
+        .groupBy("shid")
+        .agg(F.sort_array(F.collect_list("file_id")).alias("ids"))
+        .select("ids")
+        .distinct()
+    )
+    pairs = (
+        _explode_pairs(buckets)
+        .distinct()
+        .select("src", "dst", F.lit(False).alias("from_hot_band"))
+    )
+    return pairs, hot_report
+
+
+def combined_candidate_pairs(
+    sigs: DataFrame | None,
+    cfg: SimilarityConfig,
+    id_col: str = "file_id",
+    bands: DataFrame | None = None,
+    entries: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """LSH band candidates ∪ containment-sketch candidates, deduped →
+    (pairs(src, dst, from_hot_band), hot_band_report, hot_shingle_report).
+
+    The one candidate-generation entry point the batch pipeline, bench,
+    and driver queries share: Jaccard-reachable pairs come from the band
+    tier, low-Jaccard/high-containment pairs from the sketch index, and
+    the verify stage decides both under one acceptance rule."""
+    from uncp_spark.operators.lsh import candidate_pairs
+
+    lsh_pairs, hot_bands = candidate_pairs(sigs, cfg, id_col=id_col, bands=bands)
+    cont_pairs, hot_shingles = containment_candidates(
+        sigs, cfg, id_col=id_col, entries=entries
+    )
+    pairs = (
+        lsh_pairs.unionByName(cont_pairs)
+        .groupBy("src", "dst")
+        .agg(F.max("from_hot_band").alias("from_hot_band"))
+    )
+    return pairs, hot_bands, hot_shingles

@@ -6,10 +6,15 @@ a content hash per file (src/systems/hashing.rs:177-218, blake3). Here
 the input table already carries ``content``; ingest derives the columns
 every later tier keys on:
 
-  file_id   xxhash64(repo, path)           — compact join key (replaces
-            uncp's interned (idx, gen) path ids, src/paths.rs:16-104;
-            Parquet dictionary-encodes strings so the arena is
-            unnecessary, the surrogate only shrinks shuffle payloads)
+  file_id   md5(repo || NUL || path)       — 128-bit surrogate join key
+            (replaces uncp's interned (idx, gen) path ids,
+            src/paths.rs:16-104, whose uniqueness is structural; a
+            64-bit hash at the stated 10^12-file design scale expects
+            ~27,000 birthday-colliding pairs, each silently fusing two
+            unrelated files in every tier — at 2^128 the expectation is
+            ~1.5e-15, matching the interned-id guarantee
+            probabilistically. NUL-separated so (repo, path) is
+            injective; hex string, dictionary-encoded in parquet.)
   sha256    sha2(content, 256)             — exact-dup key (north_rule
             fixes sha256 where uncp uses blake3)
   size      length-in-bytes of content
@@ -17,8 +22,10 @@ every later tier keys on:
             (src/paths.rs:360-370)
   filename  last path component            — SameFileName key
             (src/paths.rs:190-207)
-  ext       lowercased extension           — predicate input
-            (src/paths.rs:325-340)
+  ext       lowercased extension, NULL when the filename has no
+            extension (dotless, or a leading-dot-only name like
+            ``.gitignore``) — predicate input, same null semantics as
+            the reference (src/paths.rs:325-340, Path::extension)
 
 All JVM-side built-ins — whole-stage codegen, no Python in this stage.
 """
@@ -48,18 +55,25 @@ def ingest(repos: DataFrame, processed_at_ns: int | None = None) -> DataFrame:
         if processed_at_ns is not None
         else now_ns()
     )
+    file_id = F.md5(F.concat_ws("\x00", F.col("repo"), F.col("path")))
+    filename = F.substring_index(F.col("path"), "/", -1)
     return repos.withColumns(
         {
             "processed_at": processed,
-            "file_id": F.xxhash64("repo", "path"),
+            "file_id": file_id,
             "sha256": F.coalesce(
                 F.sha2(F.col("content"), 256),
-                F.concat(F.lit("nullcontent:"),
-                         F.xxhash64("repo", "path").cast("string")),
+                F.concat(F.lit("nullcontent:"), file_id),
             ),
             "size": F.coalesce(F.octet_length("content").cast("long"), F.lit(0)),
             "depth": F.size(F.split(F.col("path"), "/")),
-            "filename": F.substring_index(F.col("path"), "/", -1),
-            "ext": F.lower(F.substring_index(F.col("path"), ".", -1)),
+            "filename": filename,
+            # extension only when the FILENAME has a dot with >=1 char
+            # before it ('LICENSE', 'docs/file', '.gitignore' -> NULL;
+            # 'a.b/file' must not borrow the directory's dot)
+            "ext": F.when(
+                filename.rlike(r".\."),
+                F.lower(F.regexp_extract(filename, r"\.([^.]*)$", 1)),
+            ),
         }
     )

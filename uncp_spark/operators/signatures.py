@@ -76,6 +76,7 @@ _FUSED_TYPE = T.StructType(
         T.StructField("n_shingles", T.IntegerType(), False),
         T.StructField("minhash", T.ArrayType(T.LongType()), False),
         T.StructField("simhash", T.LongType(), False),
+        T.StructField("bottomk", T.ArrayType(T.LongType()), False),
     ]
 )
 
@@ -85,6 +86,7 @@ _FUSED_TYPE_SKINNY = T.StructType(
         T.StructField("n_shingles", T.IntegerType(), False),
         T.StructField("minhash", T.ArrayType(T.LongType()), False),
         T.StructField("simhash", T.LongType(), False),
+        T.StructField("bottomk", T.ArrayType(T.LongType()), False),
     ]
 )
 
@@ -114,6 +116,7 @@ def make_fused_signatures_udf(cfg: SimilarityConfig, include_shingles: bool = Tr
     num_perm = cfg.num_perm
     use_oph = cfg.minhash_impl == "oph"
     k = cfg.shingle_k
+    m = cfg.containment_sketch_size
     weights = shingle_weights(k, cfg.seed)
 
     out_type = _FUSED_TYPE if include_shingles else _FUSED_TYPE_SKINNY
@@ -137,6 +140,9 @@ def make_fused_signatures_udf(cfg: SimilarityConfig, include_shingles: bool = Tr
             "n_shingles": [len(s) for s in sh],
             "minhash": list(mh),
             "simhash": sim,
+            # shingle ids are already sorted unique int64 (np.unique),
+            # so the bottom-m containment sketch is a zero-cost slice
+            "bottomk": [s[:m] for s in sh],
         }
         if include_shingles:
             cols = {"shingles": list(sh), **cols}
@@ -159,6 +165,7 @@ def with_signatures_fused(df: DataFrame, cfg: SimilarityConfig,
         out.withColumn("n_shingles", F.col("_sig.n_shingles"))
         .withColumn("minhash", F.col("_sig.minhash"))
         .withColumn("simhash", F.col("_sig.simhash"))
+        .withColumn("bottomk", F.col("_sig.bottomk"))
         .drop("_sig")
     )
 
@@ -237,6 +244,11 @@ def signature_table(reps: DataFrame, cfg: SimilarityConfig,
             with_token_hashes(reps, cfg), cfg, include_shingles
         )
     if cfg.shingle_impl == "expr":
-        out = with_signatures(with_shingles(reps, cfg), cfg)
+        out = with_signatures(with_shingles(reps, cfg), cfg).withColumn(
+            # same bottom-m-by-ascending-int64 sketch as the fused path
+            # (ids differ between impls; the order rule is identical)
+            "bottomk",
+            F.slice(F.array_sort("shingles"), 1, cfg.containment_sketch_size),
+        )
         return out if include_shingles else out.drop("shingles")
     raise ValueError(f"unknown shingle_impl: {cfg.shingle_impl!r}")

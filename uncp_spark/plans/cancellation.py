@@ -14,8 +14,18 @@ levers, both wrapped here:
                 currently-running Spark jobs themselves (long stages
                 don't have to finish before the cancel lands).
 
-Thread-safe: ``cancel()`` may be called from any thread (a signal
-handler, a UI, a deadline watchdog).
+T1 Pause/Resume (uncp ``EngineCommand::Pause``/``Resume``,
+src/engine.rs:66-81: the engine loop stops picking up work but keeps
+all state, then continues in-process): ``pause()`` makes the pipeline
+block at the NEXT stage boundary — the in-flight stage finishes and its
+checkpoint lands, then no new Spark jobs are submitted until
+``resume()``. A long 100 TB run can yield the cluster mid-pipeline and
+continue later without losing the run (cancel+restart would re-pay
+driver/session setup and plan warmup). ``cancel()`` always wins over a
+pause: a paused pipeline raises ``CancelledError`` immediately.
+
+Thread-safe: ``cancel()``/``pause()``/``resume()`` may be called from
+any thread (a signal handler, a UI, a deadline watchdog).
 """
 
 from __future__ import annotations
@@ -32,6 +42,8 @@ class CancelledError(RuntimeError):
 class CancellationToken:
     def __init__(self, group_id: str = "uncp-pipeline") -> None:
         self._event = threading.Event()
+        self._running = threading.Event()  # cleared = paused
+        self._running.set()
         self._group_id = group_id
         self._spark: SparkSession | None = None
         self._lock = threading.Lock()
@@ -72,3 +84,27 @@ class CancellationToken:
             raise CancelledError(
                 f"pipeline cancelled (job group {self._group_id!r})"
             )
+
+    # ------------------------------------------------------ pause/resume (T1)
+
+    def pause(self) -> None:
+        """Block the pipeline at its next stage boundary (the in-flight
+        stage completes and checkpoints; no further Spark jobs start)."""
+        self._running.clear()
+
+    def resume(self) -> None:
+        """Release a pause; the pipeline continues with the next stage."""
+        self._running.set()
+
+    @property
+    def paused(self) -> bool:
+        return not self._running.is_set()
+
+    def wait_if_paused(self) -> None:
+        """Cooperative pause point: blocks while paused, waking promptly
+        on resume() — and a cancel() during a pause raises immediately
+        (cancel outranks pause, matching uncp's command precedence)."""
+        while not self._running.is_set():
+            self.raise_if_cancelled()
+            self._running.wait(timeout=0.2)
+        self.raise_if_cancelled()

@@ -62,6 +62,10 @@ from pyspark.sql import functions as F
 
 from uncp_spark.config import SimilarityConfig
 from uncp_spark.operators.components import connected_components, label_all
+from uncp_spark.operators.containment_index import (
+    containment_candidates,
+    containment_entries,
+)
 from uncp_spark.operators.ingest import ingest
 from uncp_spark.operators.lsh import band_keys, candidate_pairs
 from uncp_spark.operators.priority import cluster_stats, priority_ranked
@@ -77,7 +81,8 @@ from uncp_spark.sources import checkpoint as ckpt
 SIG_IDENTITY = ("file_id", "repo", "path", "lang", "size", "depth")
 VKEY = ["repo", "path", "commit"]
 TMP_SUFFIX = ".incr_tmp"
-STAGES = ["files", "sigs", "bands", "pairs", "edges", "labels", "clusters"]
+STAGES = ["files", "sigs", "bands", "cindex", "pairs", "edges", "labels",
+          "clusters"]
 
 
 def _ids(df: DataFrame, col: str = "file_id") -> DataFrame:
@@ -195,6 +200,12 @@ def incremental_update(
         bands_old = spark.read.parquet(stage_dir("bands"))
     else:  # pre-bands checkpoint: derive once (column-pruned sigs scan)
         bands_old = band_keys(sigs_old, cfg)
+    if os.path.exists(os.path.join(stage_dir("cindex"), "_SUCCESS")):
+        cindex_old = spark.read.parquet(stage_dir("cindex"))
+    elif "bottomk" in sigs_old.columns:
+        cindex_old = containment_entries(sigs_old)
+    else:  # checkpoint predates the containment tier (custom graph)
+        cindex_old = None
 
     # ------------------------------------------------ tier 1: file diff
     with timed("files"):
@@ -299,15 +310,69 @@ def incremental_update(
         bands_new.write.mode("overwrite").parquet(tmp_dir("bands"))
         bands_new = spark.read.parquet(tmp_dir("bands"))
 
-        # only buckets a delta member lands in are re-grouped
+        # affected buckets = buckets a delta member lands in PLUS buckets
+        # that LOST a member. The second class matters because hot-bucket
+        # pairs are a star through the bucket's min id: when that center
+        # dies, _drop_touching removes every edge of the star and the
+        # survivors would silently lose their connectivity unless the
+        # bucket is re-grouped and re-starred onto the new min member.
+        # (This also keeps the hot-bucket skew report's sizes exact: a
+        # kept row's bucket membership can only change via an addition —
+        # delta — or a removal — dead — and both now force a re-group.)
+        # Dead members' band rows are already gone from bands_new, so
+        # their buckets come from bands_old.
+        dead_buckets = (
+            bands_old.join(dead_ids, "file_id", "left_semi")
+            .select("band", "band_hash").distinct()
+        )
         delta_buckets = (
             bands_new.join(delta_sig_ids, "file_id", "left_semi")
             .select("band", "band_hash").distinct()
+            .unionByName(dead_buckets).distinct()
         )
         affected_bands = bands_new.join(
             delta_buckets, ["band", "band_hash"], "left_semi"
         )
-        bucket_pairs, hot = candidate_pairs(None, cfg, bands=affected_bands)
+        lsh_pairs, hot = candidate_pairs(None, cfg, bands=affected_bands)
+
+        # containment-sketch index: maintained exactly like bands —
+        # alive entries carried forward, delta entries derived from the
+        # delta signatures only, and only (delta ∪ dead)-touching
+        # shingle buckets re-paired (a dead member can drop a bucket
+        # under hot_shingle_cap, surfacing survivor pairs the batch run
+        # had quarantined — same transition logic as the band tier).
+        if cindex_old is not None:
+            entries_alive = cindex_old.join(
+                sig_alive.select("file_id"), "file_id", "left_semi"
+            )
+            delta_entries = containment_entries(
+                sigs_new.join(delta_sig_ids, "file_id", "left_semi")
+            )
+            entries_new = entries_alive.unionByName(
+                delta_entries.select(*cindex_old.columns)
+            )
+            entries_new.write.mode("overwrite").parquet(tmp_dir("cindex"))
+            entries_new = spark.read.parquet(tmp_dir("cindex"))
+            dead_sh_buckets = (
+                cindex_old.join(dead_ids, "file_id", "left_semi")
+                .select("shid").distinct()
+            )
+            delta_sh_buckets = (
+                entries_new.join(delta_sig_ids, "file_id", "left_semi")
+                .select("shid").distinct()
+                .unionByName(dead_sh_buckets).distinct()
+            )
+            affected_entries = entries_new.join(
+                delta_sh_buckets, "shid", "left_semi"
+            )
+            cont_pairs, hot_sh = containment_candidates(
+                None, cfg, entries=affected_entries
+            )
+            bucket_pairs = lsh_pairs.unionByName(cont_pairs)
+        else:
+            dead_sh_buckets = None
+            hot_sh = None
+            bucket_pairs = lsh_pairs
         # old-old pairs inside affected buckets were already scored in a
         # previous run — keep only pairs touching a delta id
         p_src = bucket_pairs.join(
@@ -318,8 +383,42 @@ def incremental_update(
             delta_sig_ids.withColumnRenamed("file_id", "dst"),
             "dst", "left_semi",
         )
+        # repair pairs: re-grouping a dead-touching bucket emits pairs
+        # between two SURVIVORS (the new star center's edges after the
+        # old center died) that touch no delta id, so the filters above
+        # drop them; keep exactly the regenerated survivor pairs that
+        # pairs_old does NOT already have. Every frame here is delta-
+        # bucket-sized: the anti-join's right side is pre-restricted to
+        # old pairs with both endpoints inside a dead-touching bucket's
+        # old membership (broadcastable semi-joins), never the full
+        # corpus pair table.
+        repair_member_ids = (
+            bands_old.join(dead_buckets, ["band", "band_hash"], "left_semi")
+            .select("file_id").distinct()
+        )
+        if cindex_old is not None:
+            repair_member_ids = repair_member_ids.unionByName(
+                cindex_old.join(dead_sh_buckets, "shid", "left_semi")
+                .select("file_id").distinct()
+            ).distinct()
+        old_in_scope = (
+            pairs_old
+            .join(repair_member_ids.withColumnRenamed("file_id", "src"),
+                  "src", "left_semi")
+            .join(repair_member_ids.withColumnRenamed("file_id", "dst"),
+                  "dst", "left_semi")
+            .select("src", "dst")
+        )
+        p_repair = (
+            bucket_pairs
+            .join(repair_member_ids.withColumnRenamed("file_id", "src"),
+                  "src", "left_semi")
+            .join(repair_member_ids.withColumnRenamed("file_id", "dst"),
+                  "dst", "left_semi")
+            .join(old_in_scope, ["src", "dst"], "left_anti")
+        )
         pairs_delta = (
-            p_src.unionByName(p_dst)
+            p_src.unionByName(p_dst).unionByName(p_repair)
             .groupBy("src", "dst")
             .agg(F.max("from_hot_band").alias("from_hot_band"))
             .persist()
@@ -342,6 +441,17 @@ def incremental_update(
             )
             hot = hot_kept.unionByName(hot)
         hot.write.mode("overwrite").parquet(tmp_dir("hot_buckets"))
+        if hot_sh is not None:
+            hs_path = stage_dir("hot_shingles")
+            if os.path.exists(os.path.join(hs_path, "_SUCCESS")):
+                hs_old = spark.read.parquet(hs_path)
+                hs_kept = (
+                    hs_old.join(delta_sh_buckets, "shid", "left_anti")
+                    .join(entries_new.select("shid").distinct(),
+                          "shid", "left_semi")
+                )
+                hot_sh = hs_kept.unionByName(hot_sh)
+            hot_sh.write.mode("overwrite").parquet(tmp_dir("hot_shingles"))
         pairs_new, tok_pairs = write_stage(
             _drop_touching(pairs_old, dead_ids).unionByName(pairs_delta),
             "pairs", tok_sigs,
@@ -481,7 +591,7 @@ def incremental_update(
         )
 
     # ---------------------------------------------- promote new state
-    _swap_in(base_dir, STAGES + ["hot_buckets"])
+    _swap_in(base_dir, STAGES + ["hot_buckets", "hot_shingles"])
 
     for h in (dead_ids, new_rep, fresh_sigs, delta_sig_ids, pairs_delta,
               edges_delta, affected_nodes):

@@ -54,7 +54,7 @@ from uncp_spark.sources import checkpoint as ckpt
 # them for exactly that set from content (signatures.shingle_sets,
 # bit-identical ids); the signature stage ships fixed-width columns only.
 SIG_COLS = ["file_id", "repo", "path", "lang", "size", "depth",
-            "minhash", "simhash", "n_shingles"]
+            "minhash", "simhash", "n_shingles", "bottomk"]
 
 
 @dataclass(frozen=True)
@@ -95,20 +95,35 @@ class DedupPipeline:
             ).select(*SIG_COLS)
 
         def build_pairs(spark, ctx):
-            # band table persisted alongside the pairs stage: computed
-            # ONCE per corpus, read back column-pruned for pair
-            # generation, and the substrate the incremental path
-            # (plans/incremental.py) joins delta signatures against —
-            # a daily delta touches only the buckets its band keys hit,
-            # instead of re-banding the whole corpus.
+            # band table + containment index persisted alongside the
+            # pairs stage: computed ONCE per corpus, read back
+            # column-pruned for pair generation, and the substrate the
+            # incremental path (plans/incremental.py) joins delta
+            # signatures against — a daily delta touches only the
+            # buckets its band keys / sketch ids hit, instead of
+            # re-banding or re-indexing the whole corpus.
+            from uncp_spark.operators.containment_index import (
+                combined_candidate_pairs,
+                containment_entries,
+            )
             from uncp_spark.operators.lsh import band_keys
 
             bk_path = self._stage_dir("bands")
             band_keys(ctx["sigs"], cfg).write.mode("overwrite").parquet(bk_path)
             bands = spark.read.parquet(bk_path)
-            pairs, hot = candidate_pairs(None, cfg, bands=bands)
-            # hot-bucket report persisted alongside (skew observability)
-            hot.write.mode("overwrite").parquet(self._stage_dir("hot_buckets"))
+            ci_path = self._stage_dir("cindex")
+            containment_entries(ctx["sigs"]).write.mode("overwrite").parquet(
+                ci_path
+            )
+            entries = spark.read.parquet(ci_path)
+            pairs, hot_b, hot_s = combined_candidate_pairs(
+                None, cfg, bands=bands, entries=entries
+            )
+            # skew reports persisted alongside (observability — no
+            # silent caps): quarantined LSH buckets + dropped
+            # boilerplate-shingle index buckets
+            hot_b.write.mode("overwrite").parquet(self._stage_dir("hot_buckets"))
+            hot_s.write.mode("overwrite").parquet(self._stage_dir("hot_shingles"))
             return pairs
 
         def build_edges(spark, ctx):
@@ -186,7 +201,12 @@ class DedupPipeline:
         (T3). Checked between stages (a cancel costs at most the
         in-flight stage — every finished stage is already checkpointed,
         so a later resume run skips it) and bound to a Spark job group
-        so ``cancel()`` interrupts in-flight jobs too.
+        so ``cancel()`` interrupts in-flight jobs too. The same token
+        carries Pause/Resume (T1, uncp src/engine.rs:66-81): while
+        ``token.pause()`` holds, the loop blocks HERE at the stage
+        boundary — the finished stage's checkpoint is already on disk,
+        no new Spark jobs are submitted, and ``token.resume()``
+        continues the run in-process.
 
         ``progress`` (T4): stream live task-level progress rows to
         ``<base_dir>/_metrics/progress.jsonl`` while stages run (uncp's
@@ -213,6 +233,7 @@ class DedupPipeline:
         try:
             for spec in stages:
                 if cancel is not None:
+                    cancel.wait_if_paused()   # blocks while paused (T1)
                     cancel.raise_if_cancelled()
                 if spec.name in reserved:
                     raise ValueError(f"stage name {spec.name!r} is reserved")

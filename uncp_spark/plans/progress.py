@@ -18,10 +18,12 @@ zero rows when the pipeline is idle, and works identically under
 spark-submit. At 1000 executors this is one driver-local RPC per
 interval — cost independent of cluster size.
 
-The JSONL file is append-only and line-atomic (single writer thread,
-one ``write`` + ``flush`` per sample), so concurrent readers — a
-monitoring tail, ``read_progress`` in another session — always see a
-prefix of complete lines.
+The JSONL file is truncated per run (so repeated runs on one base_dir
+never grow it without bound or mix historical runs) and line-atomic
+within a run (single writer thread, one ``write`` + ``flush`` per
+sample), so concurrent readers — a monitoring tail, ``read_progress``
+in another session — always see a prefix of the live run's complete
+lines.
 """
 
 from __future__ import annotations
@@ -97,8 +99,12 @@ class ProgressReporter:
 
     def _loop(self) -> None:
         # single writer; file handle kept open so each sample is one
-        # buffered write + flush (line-atomic for readers)
-        with open(self._path, "a") as f:
+        # buffered write + flush (line-atomic for readers). Opened "w":
+        # the metrics file is truncated PER RUN — append-across-runs grew
+        # without bound and made read_progress mix rows from historical
+        # runs (all rows still carry run_id for the rare multi-writer
+        # case; the live-tail contract within a run is unchanged).
+        with open(self._path, "w") as f:
             while not self._stop.is_set():
                 for row in self._sample():
                     f.write(json.dumps(row) + "\n")

@@ -172,16 +172,40 @@ def save_relation(name: str, files: DataFrame, store_dir: str,
     merge keys, keys seen only by earlier scans survive — uncp's
     relation merge-on-save (src/relations.rs:285-293 via
     persist.rs:208-233), so repeated scans accumulate the union of
-    their relations. Returns the checkpoint StageResult."""
+    their relations. Returns the checkpoint StageResult.
+
+    The spec's ``version`` is STAMPED into the store manifest and
+    ENFORCED on every later save (RelationKey::version parity,
+    src/relations.rs:58-61; persisted meta version, src/persist.rs:15-20):
+    merging v2 rows into a v1 store would silently mix columns whose
+    meaning changed between versions, so a version mismatch refuses
+    loudly — delete/migrate the store explicitly."""
     import os
 
-    from uncp_spark.sources.checkpoint import merge_checkpoint
+    from uncp_spark.sources.checkpoint import (
+        merge_checkpoint,
+        read_manifest,
+        recover_merge_target,
+    )
 
     spec = get_relation(name)
+    path = os.path.join(store_dir, name)
+    recover_merge_target(path)  # the manifest we version-check must be live
+    old = read_manifest(path)
+    if old is not None:
+        stored = old.get("relation_version", 1)
+        if stored != spec.version:
+            raise ValueError(
+                f"relation {name!r} store at {path} holds schema version "
+                f"{stored} but the registered producer declares version "
+                f"{spec.version}; refusing to merge mixed schemas — "
+                f"migrate or remove the store first"
+            )
     out = build_relation(name, files)
     return merge_checkpoint(
-        out, os.path.join(store_dir, name), name, config_hash, input_token,
+        out, path, name, config_hash, input_token,
         keys=list(spec.effective_merge_keys()),
+        extra={"relation_version": spec.version},
     )
 
 

@@ -114,12 +114,23 @@ def ensure_parallelism(df, multiplier: int = 2):
         unconditionally — small fixture frames where one cheap exchange
         is noise.
     """
+    import re
+
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     # optimizedPlan() runs analysis+optimization only — no Spark jobs
     logical = df._jdf.queryExecution().optimizedPlan().toString()
-    if any(tok in logical for tok in
-           ("Join", "Aggregate", "Sort", "Window", "Repartition")):
+    # match NODE NAMES at the head of each tree line (after the +- : |
+    # drawing rail), not raw substrings — a filter literal, column, or
+    # relation name containing "Join"/"Sort"/... must not false-match
+    shuffling = {"Join", "Aggregate", "Sort", "Window", "Repartition",
+                 "RepartitionByExpression"}
+    nodes = {
+        m.group(1)
+        for line in logical.splitlines()
+        if (m := re.match(r"^[\s:+|-]*'?([A-Za-z]+)", line))
+    }
+    if nodes & shuffling:
         return df
     if len(df.inputFiles()) >= target:
         return df

