@@ -85,3 +85,70 @@ def test_embedding_near_dup_pairs_finds_planted(spark, emb):
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     planted = {(i, i + 100000) for i in (0, 1, 2, 3, 4)}
     assert planted <= found
+
+
+def test_derive_rp_bits_scales_with_corpus():
+    """bits must grow with log2(n): a fixed bits=12 at 10^9 vectors means
+    ~244k vectors per bucket per table — quadratic pair blowup."""
+    from uncp_spark.functions.similarity_search import derive_rp_bits
+
+    assert derive_rp_bits(10**9) == 23
+    assert derive_rp_bits(10**6) == 13
+    # clamps: tiny corpora keep angle resolution, huge ones stay joinable
+    assert derive_rp_bits(10) == 6
+    assert derive_rp_bits(10**12) == 24
+    # monotone non-decreasing across 6 decades
+    widths = [derive_rp_bits(10**e) for e in range(2, 13)]
+    assert widths == sorted(widths)
+
+
+def test_ann_candidate_exchanges_carry_no_vectors(spark, emb):
+    """The bucket self-join and the cross-table dedup are the two widest
+    exchanges in the ANN plan; at dim=768 float32 a vector column riding
+    through them adds ~3 KB/row of shuffle payload for data the join
+    never reads. Candidates must travel as ids only — vectors re-join
+    after dedup."""
+    from tests.test_plans import _fmt, _node_blocks
+    from uncp_spark.functions.similarity_search import ann_candidate_ids
+
+    cand_ids, _hot = ann_candidate_ids(emb, dim=DIM, bits=6, tables=4)
+    plan = _fmt(cand_ids)
+    exchanges = _node_blocks(plan, ("Exchange",))
+    assert exchanges, "expected shuffle exchanges in the ANN candidate plan"
+    for block in exchanges:
+        assert "embedding#" not in block, block
+
+
+def test_ann_hot_bucket_capped_and_reported(spark):
+    """A duplicate-heavy embedding corpus (many copies of one vector ⇒
+    the same bucket in EVERY table) must not go quadratic: buckets over
+    bucket_cap are excluded from the self-join and surface in the hot
+    report with their sizes — mirroring the text tier's hot_band_cap."""
+    import pandas as pd
+
+    from uncp_spark.functions.similarity_search import ann_candidate_ids
+
+    rng = np.random.default_rng(11)
+    hot_vec = rng.normal(size=DIM).tolist()
+    n_hot, cap, tables = 60, 20, 4
+    rows = [(i, hot_vec) for i in range(n_hot)]
+    # distinct background vectors below the cap still pair up
+    pair_a, pair_b = rng.normal(size=DIM), rng.normal(size=DIM)
+    rows += [(1000, pair_a.tolist()), (1001, (pair_a * 1.0001).tolist()),
+             (1002, pair_b.tolist()), (1003, (pair_b * 1.0001).tolist())]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    cand, hot = ann_candidate_ids(
+        df, dim=DIM, bits=4, tables=tables, bucket_cap=cap
+    )
+    hot_rows = hot.collect()
+    # identical vectors share a bucket in every table: all reported hot
+    assert len(hot_rows) >= tables
+    assert all(r["bucket_size"] >= n_hot for r in hot_rows)
+    # the hot cohort contributes no pairs (no quadratic blowup) …
+    hot_pairs = cand.filter("vec_id < 100").count()
+    assert hot_pairs == 0
+    # … while sub-cap near-identical vectors still become candidates
+    got = {(r["vec_id"], r["nbr_id"]) for r in cand.collect()}
+    assert (1000, 1001) in got and (1002, 1003) in got
