@@ -104,3 +104,24 @@ def test_hot_band_cap(spark, cfg):
     # every member pairs (directly or transitively) with the min id
     full_pairs, _ = candidate_pairs(variant_sigs, cfg)
     assert pairs_capped.count() <= full_pairs.count()
+
+
+def test_edges_carry_evidence_json(spark, cfg, sigs):
+    """Accepted edges expose a per-pair `data` JSON evidence blob (uncp
+    DESIGN.md:109-117: pairwise relations carry relation_type + data):
+    every measurement that informed acceptance, parseable, and
+    consistent with the edge's own type."""
+    import json
+
+    pairs, _ = candidate_pairs(sigs, cfg)
+    edges = accept_edges(score_pairs(pairs, sigs, cfg), cfg).collect()
+    assert edges
+    for r in edges:
+        ev = json.loads(r["data"])
+        assert "est_jaccard" in ev and "hamming" in ev
+        if r["edge_type"] == "containment":
+            assert ev["containment"] >= cfg.containment_threshold
+        if r["edge_type"] == "minhash":
+            assert ev["est_jaccard"] >= cfg.jaccard_threshold
+        if r["edge_type"] == "simhash":
+            assert ev["hamming"] <= cfg.hamming_threshold

@@ -106,6 +106,10 @@ def exact_cluster_edges(files: DataFrame) -> DataFrame:
             F.greatest("file_id", "rep_id").alias("dst"),
             F.lit(1.0).alias("score"),
             F.lit("exact").alias("edge_type"),
+            # per-pair evidence (DESIGN.md:109-117 `data` JSON): the
+            # shared key that produced the edge — already in the row,
+            # so this costs nothing extra through the exchange
+            F.to_json(F.struct("sha256")).alias("data"),
         )
     )
 

@@ -185,6 +185,17 @@ def accept_edges(scored: DataFrame, cfg: SimilarityConfig) -> DataFrame:
         | exact_ok
     )
     score_cols = ["est_jaccard", "containment"] + (["jaccard"] if has_jaccard else [])
+    # per-pair evidence blob (uncp DESIGN.md:109-117: pairwise relations
+    # carry a typed `data` JSON column alongside relation_type): every
+    # measurement that informed acceptance, so a reviewer of a dedup
+    # candidate can see WHY the edge exists without re-scoring. to_json
+    # omits null fields, so phase-1 winners (containment/jaccard never
+    # evaluated) stay compact.
+    evidence = [F.col("est_jaccard"), F.col("hamming"), F.col("containment")]
+    if has_jaccard:
+        evidence.append(F.col("jaccard"))
+    if "from_hot_band" in scored.columns:
+        evidence.append(F.col("from_hot_band"))
     return scored.filter(cond).select(
         "src",
         "dst",
@@ -194,4 +205,5 @@ def accept_edges(scored: DataFrame, cfg: SimilarityConfig) -> DataFrame:
         .when(exact_ok, "jaccard")
         .otherwise("simhash")
         .alias("edge_type"),
+        F.to_json(F.struct(*evidence)).alias("data"),
     )

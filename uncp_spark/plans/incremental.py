@@ -461,7 +461,13 @@ def incremental_update(
     with timed("edges"):
         near_delta = apply_scorer(
             get_scorer(scorer), pairs_delta, sigs_new, cfg, files=files_new
-        ).select("src", "dst", "score", "edge_type")
+        )
+        if "data" not in near_delta.columns:  # custom scorer, no evidence
+            near_delta = near_delta.withColumn(
+                "data", F.lit(None).cast("string")
+            )
+        near_delta = near_delta.select("src", "dst", "score", "edge_type",
+                                       "data")
         # exact-tier delta: each delta file links to its sha's new
         # representative; when the representative CHANGED (a smaller id
         # arrived, or the old rep died) a bridge edge keeps the old star
@@ -521,8 +527,15 @@ def incremental_update(
         exact_delta = (
             star_delta.unionByName(bridge).unionByName(restar).distinct()
             .select("src", "dst", F.lit(1.0).alias("score"),
-                    F.lit("exact").alias("edge_type"))
+                    F.lit("exact").alias("edge_type"),
+                    F.lit(None).cast("string").alias("data"))
         )
+        # an edges checkpoint written before the evidence column existed
+        # unions cleanly: backfill with NULL (unknown evidence)
+        if "data" not in edges_old.columns:
+            edges_old = edges_old.withColumn(
+                "data", F.lit(None).cast("string")
+            )
         edges_delta = near_delta.unionByName(exact_delta).persist()
         delta_report["edges_delta"] = edges_delta.count()
         edges_new, tok_edges = write_stage(

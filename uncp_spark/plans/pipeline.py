@@ -34,6 +34,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from uncp_spark.config import SimilarityConfig
 from uncp_spark.operators.components import connected_components, label_all
@@ -132,9 +133,10 @@ class DedupPipeline:
                 files=ctx["files"],
             )
             exact = exact_cluster_edges(ctx["files"])
-            return near.select("src", "dst", "score", "edge_type").unionByName(
-                exact.select("src", "dst", "score", "edge_type")
-            )
+            cols = ["src", "dst", "score", "edge_type", "data"]
+            if "data" not in near.columns:  # custom scorer without evidence
+                near = near.withColumn("data", F.lit(None).cast("string"))
+            return near.select(*cols).unionByName(exact.select(*cols))
 
         def build_labels(spark, ctx):
             return connected_components(
