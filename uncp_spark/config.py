@@ -81,6 +81,11 @@ class SimilarityConfig:
     # r ≈ 50 at ~0.6% miss, r ≈ 100 at ~8%. Fixed-width (≤ m longs), so
     # the signature stage stays bounded per row.
     containment_sketch_size: int = 256
+    # minimum shared indexed ids before a pair becomes a containment
+    # candidate: a true pair at ratio r shares ~sketch_size/r ids, so 2
+    # costs ~0.15% recall at r=30 (~3.7% at r=50) and filters the
+    # dominant noise class — pairs sharing exactly one common window
+    containment_min_shared: int = 2
     # shingle ids shared by more than this many files are boilerplate
     # (stopword-like windows); their index buckets are dropped AND
     # REPORTED, mirroring hot_band_cap — a true containment pair shares

@@ -43,7 +43,8 @@ def band_keys(sigs: DataFrame, cfg: SimilarityConfig,
     )
 
 
-def _explode_pairs(bucket_df: DataFrame, ids_col: str = "ids") -> DataFrame:
+def _explode_pairs(bucket_df: DataFrame, ids_col: str = "ids",
+                   keep: tuple[str, ...] = ()) -> DataFrame:
     """JVM-side expansion of all (ids[i], ids[j]) i<j pairs from a sorted
     id array → (src, dst) rows. No Python, no self-join.
 
@@ -55,9 +56,11 @@ def _explode_pairs(bucket_df: DataFrame, ids_col: str = "ids") -> DataFrame:
     peak per-row memory O(n): each intermediate row holds one id plus
     one suffix slice of the array."""
     n = F.size(F.col(ids_col))
+    extra = [F.col(c) for c in keep]
     return (
         bucket_df.select(
             F.col(ids_col),
+            *extra,
             F.explode(F.sequence(F.lit(1), n - 1)).alias("_i"),
         )
         .select(
@@ -69,6 +72,7 @@ def _explode_pairs(bucket_df: DataFrame, ids_col: str = "ids") -> DataFrame:
                     F.size(F.col(ids_col)) - F.col("_i"),
                 )
             ).alias("dst"),
+            *extra,
         )
     )
 
