@@ -86,6 +86,34 @@ class SimilarityConfig:
     # costs ~0.15% recall at r=30 (~3.7% at r=50) and filters the
     # dominant noise class — pairs sharing exactly one common window
     containment_min_shared: int = 2
+    # --- residual sketch screen (S5 verify, phase 1.5) ---
+    # Residual pairs (not accepted by fixed-width phase 1) normally pay
+    # the fat path: shingle-set recompute for their members plus an
+    # array_intersect join. Most residuals are spurious containment-tier
+    # candidates; the bottom-m sketches ALREADY in the signature table
+    # decide them in column math first. Bottom-k sketches compose —
+    # bottom-m(A∪B) = bottom-m(sketch_A ∪ sketch_B) — and any union-
+    # sketch element that belongs to A necessarily ranks in A's own
+    # bottom-m, so membership tests against the side sketches are EXACT;
+    # the only randomness is which elements land in the union sample.
+    # With x = |union_k ∩ A ∩ B| and d = min-side survivors
+    # |union_k ∩ sketch_min|, x ~ Binom(d, containment) and
+    # x ~ Binom(|union_k|, jaccard). A pair is screened out (skips the
+    # fat path, reported with containment = NULL) only when ALL of:
+    #   - est_jaccard is 4σ below jaccard_threshold (128-perm estimate),
+    #   - P(X ≤ x | |union_k|, p=jaccard_threshold) ≤ screen_tail_jaccard
+    #     (an independent second Jaccard estimator — combined false-drop
+    #     probability for a true J ≥ threshold pair ≈ 5e-5 × 1e-3),
+    #   - P(X ≤ x | d, p=containment_threshold) ≤ screen_tail_containment
+    #     (the sole containment evidence, hence the tighter tail).
+    # The exact binomial quantiles auto-disable the screen where the
+    # sketch has no power: at size ratio r, d ≈ m/r, and for small d the
+    # keep-threshold falls to 0-2 shared ids — high-ratio containment
+    # pairs (the tier's reason to exist) are never screened, while
+    # same-size junk (d ≈ m/2, x ≪ 0.9·d) is decisively rejected.
+    containment_screen: bool = True
+    screen_tail_jaccard: float = 1e-3
+    screen_tail_containment: float = 1e-5
     # shingle ids shared by more than this many files are boilerplate
     # (stopword-like windows); their index buckets are dropped AND
     # REPORTED, mirroring hot_band_cap — a true containment pair shares

@@ -21,11 +21,40 @@ file_id; AQE handles size-based strategy choice.
 
 from __future__ import annotations
 
+import math
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from uncp_spark.config import SimilarityConfig
+
+
+@lru_cache(maxsize=8)
+def _binom_keep_thresholds(m: int, p: float, tail: float) -> tuple[int, ...]:
+    """keep[d] = smallest x with P(X ≤ x | Binom(d, p)) > tail, d = 0..m.
+
+    A pair observing x ≥ keep[d] successes in d trials cannot be ruled
+    out as a true-p pair at the given tail; x < keep[d] means observing
+    so few successes is a ≤ tail event under true rate p — confidently
+    below threshold. Exact binomial CDF in log space (d ≤ a few hundred,
+    driver-side, cached)."""
+    lp, lq = math.log(p), math.log1p(-p)
+    out = []
+    for d in range(m + 1):
+        lg_d = math.lgamma(d + 1)
+        cdf = 0.0
+        keep = d + 1  # if even x = d is a ≤ tail event, nothing is keepable
+        for x in range(d + 1):
+            lpmf = (lg_d - math.lgamma(x + 1) - math.lgamma(d - x + 1)
+                    + x * lp + (d - x) * lq)
+            cdf += math.exp(lpmf)
+            if cdf > tail:
+                keep = x
+                break
+        out.append(keep)
+    return tuple(out)
 
 # phase-1 caches of previous score_pairs calls: retired on the next call
 # so a long-lived session running many queries doesn't accumulate
@@ -60,6 +89,14 @@ def score_pairs(
     accepted edge set is identical to a single-phase evaluation;
     phase-1 winners report containment = NULL, meaning 'not
     evaluated'), and only for those pairs' member ids.
+
+    Phase 1.5 (``cfg.containment_screen``, on when ``sigs`` carries the
+    ``bottomk`` sketch): residual pairs that the fixed-width bottom-k
+    sketches certify below EVERY acceptance threshold — exact binomial
+    tails, see config — skip the fat path entirely and come back with
+    containment/jaccard = NULL. The fat recompute then scales with the
+    surviving (plausible) pairs' member set, not with containment-tier
+    candidate noise.
 
     Shingle source, in preference order:
       - ``sigs.shingles`` when the caller kept the column (oracle
@@ -100,6 +137,64 @@ def score_pairs(
         F.col("hamming") <= cfg.hamming_threshold
     )
     residual_base = phase1.filter(~accepted1)
+    screened_out = None
+    if cfg.containment_screen and "bottomk" in sigs.columns:
+        # phase 1.5 — bottom-k sketch screen (see config.containment_screen
+        # for the estimator and its recall bounds). The fat path below
+        # scales with the number of residual MEMBERS (a full shingle
+        # recompute per member); most residuals are spurious containment
+        # candidates that the fixed-width sketches already in `sigs`
+        # refute, so screening here is what keeps verify proportional to
+        # the true-dup density rather than to candidate noise at scale.
+        m = cfg.containment_sketch_size
+        keep_j = _binom_keep_thresholds(m, cfg.jaccard_threshold,
+                                        cfg.screen_tail_jaccard)
+        keep_c = _binom_keep_thresholds(m, cfg.containment_threshold,
+                                        cfg.screen_tail_containment)
+        est_keep = cfg.jaccard_threshold - 4.0 * math.sqrt(
+            cfg.jaccard_threshold * (1 - cfg.jaccard_threshold) / cfg.num_perm
+        )
+        bk = sigs.select("file_id", "bottomk")
+        bka = bk.select(F.col("file_id").alias("src"),
+                        F.col("bottomk").alias("bk_a"))
+        bkb = bk.select(F.col("file_id").alias("dst"),
+                        F.col("bottomk").alias("bk_b"))
+        union_k = F.slice(F.array_sort(F.array_union("bk_a", "bk_b")), 1, m)
+        with_bk = (
+            residual_base.join(bka, "src")
+            .join(bkb, "dst")
+            .withColumn("_uk", union_k)
+            .withColumn("_x", F.size(F.array_intersect(
+                "_uk", F.array_intersect("bk_a", "bk_b"))))
+            .withColumn("_d", F.least(
+                F.size(F.array_intersect("_uk", "bk_a")),
+                F.size(F.array_intersect("_uk", "bk_b")),
+            ))
+            .withColumn("_mp", F.size("_uk"))
+        )
+        keep_j_arr = F.array(*[F.lit(v) for v in keep_j])
+        keep_c_arr = F.array(*[F.lit(v) for v in keep_c])
+        keep = (
+            (F.col("est_jaccard") >= F.lit(est_keep))
+            | (F.col("_x") >= F.element_at(keep_j_arr, F.col("_mp") + 1))
+            | (F.col("_x") >= F.element_at(keep_c_arr, F.col("_d") + 1))
+        )
+        base_cols = residual_base.columns
+        # LINEAGE CUT, not just a cache: `decided` is referenced by both
+        # output branches AND (via `need`) by the shingle recompute, so
+        # its subtree — phase 1, two sketch joins, 2×(m+1) literal
+        # lookup arrays — would be copied ~6× into the final union. Over
+        # a caller with deep lineage (the incremental path unions old +
+        # delta signatures) that multiplied the plan tree past 2 GB of
+        # tree-string and hung Catalyst. localCheckpoint truncates the
+        # plan to an RDD leaf (same trade as connected-components: blocks
+        # pinned to executors, not fault-tolerant — acceptable inside one
+        # stage of a pipeline that checkpoints every stage to parquet).
+        decided = with_bk.select(
+            *base_cols, keep.alias("_keep")
+        ).localCheckpoint(eager=True)
+        screened_out = decided.filter(~F.col("_keep")).select(*base_cols)
+        residual_base = decided.filter("_keep").select(*base_cols)
     # shingle arrays only for files that actually appear in a residual
     # pair: one scan of the signature table, shuffle sized to residuals
     need = (
@@ -151,7 +246,18 @@ def score_pairs(
         F.lit(None).cast("double").alias("containment"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    return winners.unionByName(residual)
+    out = winners.unionByName(residual)
+    if screened_out is not None:
+        # screened pairs stay visible in the scored table (every
+        # candidate gets a row) with containment/jaccard = NULL — the
+        # screen certified them below every threshold, so accept_edges
+        # rejects them exactly as it rejects phase-1 losers
+        out = out.unionByName(screened_out.select(
+            "src", "dst", "from_hot_band", "est_jaccard", "hamming",
+            F.lit(None).cast("double").alias("containment"),
+            F.lit(None).cast("double").alias("jaccard"),
+        ))
+    return out
 
 
 def accept_edges(scored: DataFrame, cfg: SimilarityConfig) -> DataFrame:

@@ -71,6 +71,11 @@ def get_spark(
         # (num_perm x total_shingles) work matrix stays in-cache.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
+        # defense in depth against plan-tree blowups: cap tree-string
+        # rendering (explain / error messages / plan-change log) at 8 MB
+        # instead of the 2 GB default — a runaway lineage then truncates
+        # a log string instead of stalling the driver building it
+        .config("spark.sql.maxPlanStringLength", str(8 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
