@@ -643,7 +643,10 @@ def q_near_dup_clusters(spark, sf_dir):
     (operators/containment_index.py), whose miss probability at this
     corpus's size ratios (~exp(-256/r), r ≲ 30) is < 1e-3 per pair and
     0 observed — low-Jaccard containment pairs surface on BOTH sides
-    under the same containment ≥ 0.9 predicate. A hash match is
+    under the same containment ≥ 0.9 predicate. The tier's size-ratio
+    floor (config.containment_ratio_min) loses nothing here: a pair it
+    drops (ratio < 1.1) can only satisfy containment ≥ 0.9 with
+    J ≥ 0.75, which band-collides with P ≈ 1 − 5e-6. A hash match is
     therefore a true end-to-end equality of cluster assignments."""
     return _near_dup_keyed(spark, sf_dir).select("repo", "path", "cluster_key")
 

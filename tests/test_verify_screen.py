@@ -43,16 +43,22 @@ _W = [f"w{i:03d}" for i in range(400)]
 
 
 def _junk_rows(n_pairs: int = 6) -> list[tuple]:
-    """Same-size file pairs with a shared ~30-token block: real overlap
-    (containment ~ 0.3, Jaccard ~ 0.15 — far below every threshold) and
-    >= 2 shared bottom-k ids, so they ARE containment-tier candidates.
-    This is the dominant spurious class the screen must reject."""
+    """Size-ratio ~2 file pairs with a shared ~30-token block: real
+    overlap (containment ~ 0.3, Jaccard ~ 0.1 — far below every
+    threshold), >= 2 shared bottom-k ids, and a shingle-count ratio
+    above containment_ratio_min, so they ARE containment-tier
+    candidates. (Equal-size overlap junk never reaches verify anymore —
+    the candidate tier's ratio floor proves those pairs band-reachable
+    and drops them at generation; the spurious class that SURVIVES the
+    floor is exactly this one, and the screen must reject it.)"""
     rows = []
     for g in range(n_pairs):
-        base = 3 * g * 100
-        common = " ".join(_W[(base + i) % 400] for i in range(30))
-        a_only = " ".join(_W[(base + 40 + i) % 400] for i in range(70))
-        b_only = " ".join(_W[(base + 150 + i) % 400] for i in range(70))
+        # per-group vocabulary: groups must share NO tokens, or long
+        # consecutive runs recur across groups and accidentally plant
+        # true (containment >= 0.9) cross-group pairs
+        common = " ".join(f"g{g}c{i}" for i in range(30))
+        a_only = " ".join(f"g{g}a{i}" for i in range(70))
+        b_only = " ".join(f"g{g}b{i}" for i in range(170))
         rows.append(("o/junk", f"a_{g}.txt", "c", "text",
                      a_only + " " + common, "junk_overlap", 90_000 + g))
         rows.append(("o/junk", f"b_{g}.txt", "c", "text",

@@ -86,6 +86,20 @@ class SimilarityConfig:
     # costs ~0.15% recall at r=30 (~3.7% at r=50) and filters the
     # dominant noise class — pairs sharing exactly one common window
     containment_min_shared: int = 2
+    # size-ratio floor for containment candidates: a pair with shingle-
+    # set sizes (s, r·s) and containment c = I/min has Jaccard
+    # J = c/(1 + r − c), so c ≥ containment_threshold (0.9) together
+    # with r < 1.1 forces J ≥ 0.9/1.2 = 0.75 > jaccard_threshold —
+    # i.e. every near-equal-size pair the containment predicate could
+    # accept is already inside the band tier's reach (collision
+    # P ≈ 1 − 5e-6 at J = 0.75). Dropping sub-ratio pairs from THIS
+    # tier is therefore lossless for the acceptance rule, and it is the
+    # guard that keeps the sketch index linear on corpora with many
+    # same-size moderately-similar files (shared boilerplate blocks):
+    # those pairs share ≥ min_shared sketch ids yet can never be
+    # containment edges, and without the floor each one costs a phase-1
+    # signature comparison. Exact: n_shingles is the true set size.
+    containment_ratio_min: float = 1.1
     # --- residual sketch screen (S5 verify, phase 1.5) ---
     # Residual pairs (not accepted by fixed-width phase 1) normally pay
     # the fat path: shingle-set recompute for their members plus an

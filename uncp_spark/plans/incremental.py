@@ -202,6 +202,12 @@ def incremental_update(
         bands_old = band_keys(sigs_old, cfg)
     if os.path.exists(os.path.join(stage_dir("cindex"), "_SUCCESS")):
         cindex_old = spark.read.parquet(stage_dir("cindex"))
+        if "n" not in cindex_old.columns and "bottomk" in sigs_old.columns:
+            # pre-ratio-floor checkpoint (entries lacked the inline
+            # shingle count): re-derive once from the old signatures —
+            # a column-pruned scan, no UDF — instead of carrying a
+            # second schema through candidate generation
+            cindex_old = containment_entries(sigs_old)
     elif "bottomk" in sigs_old.columns:
         cindex_old = containment_entries(sigs_old)
     else:  # checkpoint predates the containment tier (custom graph)
