@@ -16,13 +16,12 @@ Plan shape (the 100 TB-safe construction):
             ≈ 1 - exp(-m / (|B|/|A|)).
   buckets   groupBy shid. Sizes are counted FIRST (map-side-combinable
             count, never collect_list on an uncapped key): buckets over
-            ``hot_shingle_cap`` are dropped AND reported — a shingle
-            shared by 10^6 files is boilerplate whose pairs are noise,
-            and the one way this index goes quadratic.
-  pairs     member-set dedup (identical id-arrays recur across a pair's
-            ~m/r shared ids — one cheap shuffle cuts expansion by that
-            factor), then the same O(n)-peak-memory JVM pair expansion
-            as the LSH tier. Never a self-join, never a cross join.
+            ``hot_shingle_cap`` are dropped — via a broadcast anti-join,
+            so the index is exchanged exactly once — AND reported: a
+            shingle shared by 10^6 files is boilerplate whose pairs are
+            noise, and the one way this index goes quadratic.
+  pairs     the same O(n)-peak-memory JVM pair expansion as the LSH
+            tier. Never a self-join, never a cross join.
             A SIZE-RATIO FLOOR (config.containment_ratio_min) drops
             near-equal-size pairs before they shuffle: containment ≥ 0.9
             at ratio < 1.1 implies Jaccard ≥ 0.75, which the band tier
@@ -76,23 +75,31 @@ def containment_candidates(
     ``sigs`` is unused (may be None).
     """
     ent = entries if entries is not None else containment_entries(sigs, id_col)
+    # pass 1 — bucket sizes only: count() partial-aggregates map-side,
+    # so the exchange carries one row per DISTINCT shid, never the full
+    # index. This is the no-OOM guard: collect_list may only ever run
+    # on buckets this pass proved sub-cap.
     sizes = ent.groupBy("shid").agg(F.count("*").alias("bucket_size"))
-    ok = sizes.filter(
-        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.hot_shingle_cap)
-    ).select("shid")
     hot_report = sizes.filter(F.col("bucket_size") > cfg.hot_shingle_cap)
-    # the join on shid partitions entries by shid; the groupBy reuses
-    # that partitioning (no second exchange)
+    # pass 2 — ONE exchange of the index: hot shingles are excluded via
+    # a broadcast anti-join (the hot set is small by construction —
+    # pathological boilerplate windows; if a corpus ever produces an
+    # unbroadcastable hot set, AQE degrades this to a shuffle join,
+    # correct either way), then a single groupBy builds the sub-cap
+    # buckets. Singletons and stragglers die in the post-agg size
+    # filter — cheaper than a second full exchange to pre-join an
+    # "ok buckets" list that covers ~99% of all buckets anyway.
     buckets = (
-        ent.join(ok, "shid", "left_semi")
+        ent.join(F.broadcast(hot_report.select("shid")), "shid", "left_anti")
         .groupBy("shid")
         .agg(F.sort_array(F.collect_list(F.struct("file_id", "n"))).alias("ids"))
+        .select("ids", F.size("ids").alias("bucket_size"))
+        .filter(
+            (F.col("bucket_size") >= 2)
+            & (F.col("bucket_size") <= cfg.hot_shingle_cap)
+        )
+        .select("ids")
     )
-    # member-set grouping: identical id-arrays recur across a true
-    # pair's ~m/r shared ids — one cheap shuffle collapses them to a
-    # single row CARRYING the multiplicity, which is exactly the
-    # shared-indexed-id count the evidence filter below needs
-    msets = buckets.groupBy("ids").agg(F.count("*").alias("_w"))
     # size-ratio floor (config.containment_ratio_min: lossless — a
     # sub-ratio pair acceptable by containment has J ≥ 0.75, band-tier
     # territory). Applied TWICE: whole buckets where no member pair can
@@ -100,13 +107,17 @@ def containment_candidates(
     # boilerplate block shared by same-size files puts all of them in
     # one bucket), and mixed buckets' surviving pairs are filtered
     # per-pair right after the explode, BEFORE the (src, dst) shuffle.
+    # (The band tier's member-set dedup is NOT mirrored here: the ratio
+    # prefilter already kills the recurring same-member buckets this
+    # index produces, and the per-bucket occurrence count that dedup
+    # carried falls out of the groupBy below for free.)
     ratio = F.lit(float(cfg.containment_ratio_min))
     ns = F.transform("ids", lambda s: s["n"])
-    msets = msets.filter(
+    buckets = buckets.filter(
         F.array_max(ns).cast("double") >= ratio * F.array_min(ns).cast("double")
     )
     pairs = (
-        _explode_pairs(msets, keep=("_w",))
+        _explode_pairs(buckets)
         .filter(
             F.greatest(F.col("src.n"), F.col("dst.n")).cast("double")
             >= ratio * F.least(F.col("src.n"), F.col("dst.n")).cast("double")
@@ -114,10 +125,9 @@ def containment_candidates(
         .select(
             F.col("src.file_id").alias("src"),
             F.col("dst.file_id").alias("dst"),
-            "_w",
         )
         .groupBy("src", "dst")
-        .agg(F.sum("_w").alias("shared"))
+        .agg(F.count("*").alias("shared"))
         # evidence floor: a true containment pair at size ratio r shares
         # ~m/r indexed ids (λ = m/r Poisson), so requiring ≥2 barely
         # moves recall where the sketch reaches at all — at r = 30,
