@@ -194,3 +194,43 @@ def test_ingest_stays_in_codegen(spark):
     # formatted mode marks codegen stages with '*' (simple mode spells
     # out WholeStageCodegen); the projection chain must carry it
     assert "* Project" in plan
+
+
+def test_containment_index_is_single_exchange(spark):
+    """The sketch inverted index is exchanged once (the bucket groupBy):
+    the hot-shingle exclusion is a BROADCAST anti-join — never a second
+    shuffle of the full index — and the size filter runs post-agg. The
+    sizes pre-pass partial-aggregates map-side, so its exchange carries
+    one row per distinct shid, not the index. Regression here doubles
+    the candidate-tier shuffle volume at any scale."""
+    from uncp_spark.fixtures import repos_from_documents
+    from uncp_spark.operators.containment_index import containment_candidates
+    from uncp_spark.operators.exact import exact_representatives
+    from uncp_spark.operators.ingest import ingest
+    from uncp_spark.operators.signatures import signature_table
+
+    files = ingest(repos_from_documents(spark, SF_DIR))
+    sigs = signature_table(
+        exact_representatives(files), CFG, include_shingles=False
+    )
+    pairs, _hot = containment_candidates(sigs, CFG)
+    plan = _fmt(pairs)
+    # hot exclusion broadcasts: a left-anti BroadcastHashJoin exists...
+    anti = [b for b in _node_blocks(plan, ("BroadcastHashJoin",))
+            if "LeftAnti" in b]
+    assert anti, "hot-shingle exclusion must be a broadcast anti-join"
+    # ...and no shuffle-based anti join re-exchanges the index
+    assert not any(
+        "LeftAnti" in b
+        for b in _node_blocks(plan, ("SortMergeJoin", "ShuffledHashJoin"))
+    )
+    # the index's struct payload crosses exactly one shid-partitioned
+    # exchange: the bucket-building groupBy (its input is the
+    # collect_list buffer `buf`). Every other shid exchange must be the
+    # sizes pre-pass carrying map-side-combined (shid, count) rows only.
+    shid_ex = [b for b in _node_blocks(plan, ("Exchange",))
+               if "hashpartitioning(shid" in b]
+    fat = [b for b in shid_ex if "buf" in b]
+    skinny = [b for b in shid_ex if "count" in b and "buf" not in b]
+    assert len(fat) == 1, f"index buffer exchanged {len(fat)}x, want 1"
+    assert len(fat) + len(skinny) == len(shid_ex)
