@@ -287,6 +287,9 @@ def main() -> None:
         "passes": passes,
         "noise_spread": noise_spread,
         "pass_pipeline_secs": [pipe_sec(t) for t in pass_timings],
+        # full per-pass stage timings: measurement health is auditable
+        # per stage, not just per pipeline total
+        "pass_queries": pass_timings,
         "cold_queries": cold_timings or None,
     }
     spark.stop()

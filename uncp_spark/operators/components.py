@@ -95,6 +95,14 @@ def connected_components(
     the edges-stage checkpoint upstream with no pinned-executor state.
     """
     spark = edges.sparkSession
+    # shuffle-interior id interning (see lsh.intern_hex_id): CC shuffles
+    # (src, dst) through ~5-6 exchanges per round for O(log n) rounds;
+    # binary(16) halves the payload vs the 32-char hex id, and lowercase-
+    # hex order equals byte order, so min/least (the cluster_id rule)
+    # commute exactly. Hex in, hex out — checkpoints unchanged outside.
+    from uncp_spark.operators.lsh import extern_hex_id, intern_hex_id
+
+    edges, interned = intern_hex_id(edges, "src", "dst")
 
     if checkpoint_dir is not None:
         import os
@@ -128,7 +136,10 @@ def connected_components(
         .join(members.select("file_id"), "file_id", "left_anti")
         .select("file_id", F.col("file_id").alias("cluster_id"))
     )
-    return members.unionByName(roots)
+    labels = members.unionByName(roots)
+    if interned:
+        labels = extern_hex_id(labels, "file_id", "cluster_id")
+    return labels
 
 
 def label_all(files: DataFrame, labels: DataFrame) -> DataFrame:

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from uncp_spark.config import SimilarityConfig
-from uncp_spark.operators.lsh import _explode_pairs
+from uncp_spark.operators.lsh import _explode_pairs, extern_hex_id, intern_hex_id
 
 
 def containment_entries(sigs: DataFrame, id_col: str = "file_id") -> DataFrame:
@@ -75,6 +75,10 @@ def containment_candidates(
     ``sigs`` is unused (may be None).
     """
     ent = entries if entries is not None else containment_entries(sigs, id_col)
+    # shuffle-interior id interning (see lsh.intern_hex_id): the index
+    # carries an id in every entry row and bucket array; binary(16)
+    # halves that vs the hex string. Hex in, hex out.
+    ent, interned = intern_hex_id(ent, "file_id")
     # pass 1 — bucket sizes only: count() partial-aggregates map-side,
     # so the exchange carries one row per DISTINCT shid, never the full
     # index. This is the no-OOM guard: collect_list may only ever run
@@ -139,6 +143,8 @@ def containment_candidates(
         .filter(F.col("shared") >= cfg.containment_min_shared)
         .select("src", "dst", F.lit(False).alias("from_hot_band"))
     )
+    if interned:
+        pairs = extern_hex_id(pairs, "src", "dst")
     return pairs, hot_report
 
 

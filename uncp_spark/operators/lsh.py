@@ -29,6 +29,25 @@ from pyspark.sql import functions as F
 from uncp_spark.config import SimilarityConfig
 
 
+def intern_hex_id(df: DataFrame, *cols: str) -> tuple[DataFrame, bool]:
+    """Convert 32-char-hex id columns to ``binary(16)`` for the shuffle-
+    heavy interior of an operator; ``extern_hex_id`` restores the hex
+    form at the boundary. The pipeline's file_id is a lowercase md5 hex
+    string (ingest.py) — 32 chars plus offsets through EVERY exchange,
+    vs 16 bytes packed; and lowercase-hex string order equals unsigned
+    byte order, so min/least/sort semantics commute exactly with the
+    conversion. Non-string ids (tests use longs) pass through untouched."""
+    if dict(df.dtypes).get(cols[0]) != "string":
+        return df, False
+    return df.withColumns({c: F.unhex(c) for c in cols}), True
+
+
+def extern_hex_id(df: DataFrame, *cols: str) -> DataFrame:
+    """Inverse of ``intern_hex_id`` (hex() emits uppercase; the pipeline
+    id is lowercase, so lower() restores the exact original)."""
+    return df.withColumns({c: F.lower(F.hex(c)) for c in cols})
+
+
 def band_keys(sigs: DataFrame, cfg: SimilarityConfig,
               sig_col: str = "minhash", id_col: str = "file_id") -> DataFrame:
     """(file_id, band, band_hash) — one row per file per band."""
@@ -95,6 +114,11 @@ def candidate_pairs(
     When given, ``sigs`` is unused (may be None).
     """
     bk = bands if bands is not None else band_keys(sigs, cfg, id_col=id_col)
+    # shuffle-interior id interning: every exchange below carries ids in
+    # every row (bucket arrays, pair rows); 16-byte binary halves that
+    # payload vs the 32-char hex string and compares faster. Checkpoint
+    # and output schemas are unchanged — hex in, hex out.
+    bk, interned = intern_hex_id(bk, "file_id")
     raw_buckets = (
         bk.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("file_id")).alias("ids"))
@@ -129,4 +153,6 @@ def candidate_pairs(
         .groupBy("src", "dst")
         .agg(F.max("from_hot_band").alias("from_hot_band"))
     )
+    if interned:
+        pairs = extern_hex_id(pairs, "src", "dst")
     return pairs, hot_buckets_report
