@@ -48,7 +48,9 @@ def run_bench(cores: int, sf_dir: str, amplify: int, content_repeat: int) -> dic
         SPARK_GRAFT_SF_DIR=sf_dir,
         BENCH_AMPLIFY=str(amplify),
         BENCH_CONTENT_REPEAT=str(content_repeat),
-        BENCH_PASSES=os.environ.get("BENCH_PASSES", "2"),
+        # >=3 passes: each arm's pipeline time is the median of its warm
+        # passes, so one burst inside one pass cannot define the arm
+        BENCH_PASSES=os.environ.get("BENCH_PASSES", "3"),
         # identical logical plans in both arms: only executor-thread count
         # varies, exactly like scaling executors on a fixed-conf cluster
         SPARK_GRAFT_SHUFFLE=os.environ.get("SPARK_GRAFT_SHUFFLE", "64"),
@@ -184,6 +186,20 @@ def main() -> None:
                 results[cores] = r
         w["host_speedup"] = round(w[f"arith_{lo}"] / w[f"arith_{hi}"], 3)
         w["host_mem_speedup"] = round(w[f"mem_{lo}"] / w[f"mem_{hi}"], 3)
+        # window-level engine speedup and its MATCHED normalization: both
+        # arms and both controls ran inside this window, so this is the
+        # one ratio where engine and ceiling saw the same co-tenant load
+        w["engine_speedup"] = round(
+            w[f"bench_{lo}"]["value"] / w[f"bench_{hi}"]["value"], 3
+        )
+        w["matched_norm_vs_shuffle"] = (
+            round(w["engine_speedup"] / w["host_mem_speedup"], 3)
+            if w["host_mem_speedup"] else None
+        )
+        w["matched_norm_vs_arith"] = (
+            round(w["engine_speedup"] / w["host_speedup"], 3)
+            if w["host_speedup"] else None
+        )
         w["stage_norm_eff"] = {}
         w["stage_norm_eff_mem"] = {}
         for stage in w[f"bench_{lo}"]["queries"]:
@@ -202,6 +218,24 @@ def main() -> None:
 
     t8, t32 = results[lo]["files_per_sec"], results[hi]["files_per_sec"]
     eff = (t32 / t8) / (hi / lo)
+
+    # Median-across-windows estimators. Best-of-arm (above) pairs the
+    # quietest 8-arm with the quietest 32-arm, which may come from
+    # DIFFERENT windows — unbiased only if noise were stationary, which
+    # this host's minutes-long bursts are not. The per-window speedup
+    # needs no such assumption (both arms ran back-to-back under the
+    # same load), and the median over windows rejects burst-polluted
+    # windows in either direction.
+    def _median(xs):
+        xs = sorted(x for x in xs if x is not None)
+        return xs[len(xs) // 2] if xs else None
+
+    med_speedup = _median([w["engine_speedup"] for w in windows])
+    med_eff = round(med_speedup / (hi / lo), 3) if med_speedup else None
+    med_matched_shuffle = _median(
+        [w["matched_norm_vs_shuffle"] for w in windows]
+    )
+    med_matched_arith = _median([w["matched_norm_vs_arith"] for w in windows])
 
     # headline window = quietest co-tenancy (highest host ceiling): the
     # window where the hardware came closest to actually providing 4x
@@ -251,6 +285,14 @@ def main() -> None:
         "host_shuffle_ceiling_efficiency": round(host_mem_speedup / (hi / lo), 3),
         "normalized_efficiency_vs_host_ceiling": norm_eff,
         "normalized_efficiency_vs_shuffle_ceiling": norm_eff_mem,
+        "median_window_speedup": med_speedup,
+        "median_window_efficiency": med_eff,
+        "median_matched_norm_vs_shuffle": med_matched_shuffle,
+        "median_matched_norm_vs_arith": med_matched_arith,
+        "window_speedups": [w["engine_speedup"] for w in windows],
+        "window_matched_norm_vs_shuffle": [
+            w["matched_norm_vs_shuffle"] for w in windows
+        ],
         "per_stage_normalized_efficiency": stage_best,
         "windows": windows,
         "runs_per_point": args.runs,
@@ -265,8 +307,9 @@ def main() -> None:
     md = f"""# BENCH — measured results
 
 Generated by `scripts/run_scaling.py` at {time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}.
-Host: shared sandbox (32 cores); best of {args.runs} fresh-JVM runs per point
-to damp co-tenant load noise.
+Host: shared sandbox (32 cores); {args.runs} fresh-JVM windows per arm,
+each arm's time = median of its warm passes; headline table = best window
+per arm, with median-of-windows estimators below (co-tenant load noise).
 
 ## Scaling efficiency (north_rule: ≥ 0.8 from N to 4N)
 
@@ -307,6 +350,22 @@ as the upper bound for pure-compute work.
 **Normalized efficiency — engine speedup ÷ arith ceiling:
 {report['normalized_efficiency_vs_host_ceiling']}; ÷ shuffle ceiling:
 {report['normalized_efficiency_vs_shuffle_ceiling']}**
+
+### Median-of-windows estimators (noise-robust)
+
+Best-of-arm pairs the quietest {lo}-arm with the quietest {hi}-arm, which
+may come from different windows — a biased ratio under this host's
+minutes-long load bursts. The per-window speedup compares arms that ran
+back-to-back under the same load; the median over {args.runs} windows
+rejects burst-polluted windows in either direction (each arm's pipeline
+time is itself the median of its warm passes, so a burst inside one pass
+cannot define an arm):
+
+- per-window engine speedups: {report['window_speedups']}
+- **median window speedup {med_speedup}× ⇒ efficiency {med_eff}**
+- per-window matched normalization vs same-window shuffle ceiling:
+  {report['window_matched_norm_vs_shuffle']}
+  → **median {med_matched_shuffle}** (vs arith ceiling: {med_matched_arith})
 
 ## Per-stage timings (local[{hi}], best run)
 
