@@ -640,10 +640,15 @@ def q_near_dup_clusters(spark, sf_dir):
     both sides accept it), verified empirically at sf0.001 and sf0.01
     (spark-only = oracle-only = 0, see round-3 notes). The engine's
     candidate reach now includes the bottom-m containment-sketch tier
-    (operators/containment_index.py), whose miss probability at this
-    corpus's size ratios (~exp(-256/r), r ≲ 30) is < 1e-3 per pair and
-    0 observed — low-Jaccard containment pairs surface on BOTH sides
-    under the same containment ≥ 0.9 predicate. The tier's size-ratio
+    (operators/containment_index.py), and the corpus PLANTS its target
+    class: ``bundle/`` files concatenate windows of long documents, so
+    each member doc is verbatim-contained at size ratio up to ~13
+    (token Jaccard ≈ 0.075 — below LSH band reach, band-collision
+    P ≈ 32·J⁴ ≈ 10⁻³) and must be surfaced by the sketch index for this
+    hash equality to hold. Expected shared sketch ids per member is
+    ≥ ~17 at the corpus's worst ratio (sketch 256), and the derivation
+    is hash-deterministic — low-Jaccard containment pairs surface on
+    BOTH sides under the same containment ≥ 0.9 predicate. The tier's size-ratio
     floor (config.containment_ratio_min) loses nothing here: a pair it
     drops (ratio < 1.1) can only satisfy containment ≥ 0.9 with
     J ≥ 0.75, which band-collides with P ≈ 1 − 5e-6. A hash match is

@@ -184,11 +184,22 @@ def test_pair_expansion_is_two_step_explode(spark):
 
 def test_ingest_stays_in_codegen(spark):
     """The ingest stage (sha256/size/depth/...) is pure JVM expressions:
-    no Python evals anywhere in its plan."""
-    from uncp_spark.fixtures import repos_from_documents
+    no Python evals anywhere in its plan. Built over the shuffle-free
+    corpus branches (a scan-projection chain): the fixture's bundle
+    branch adds an aggregate Exchange, which wraps the whole plan in
+    AdaptiveSparkPlan and hides codegen '*' markers pre-execution —
+    that branch's plan shape is covered by the union/aggregate tests."""
     from uncp_spark.operators.ingest import ingest
 
-    plan = _fmt(ingest(repos_from_documents(spark, SF_DIR)))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    repos = docs.select(
+        F.concat(F.lit("src/"), "source").alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id").cast("string"),
+                 F.lit(".txt")).alias("path"),
+        F.lit("deadbeef").alias("commit"), "lang",
+        F.col("text").alias("content"),
+    )
+    plan = _fmt(ingest(repos))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     # formatted mode marks codegen stages with '*' (simple mode spells

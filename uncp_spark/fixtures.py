@@ -206,7 +206,16 @@ def repos_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet, planting exact + near duplicates with *SQL-expressible*
     transforms so a DuckDB oracle can reproduce it exactly
     (__spark_entry__ contract). Near-dup = original + a short appended
-    token tail (high-Jaccard containment-style mutation)."""
+    token tail (high-Jaccard containment-style mutation); the ``bundle/``
+    branch plants LOW-JACCARD containment: every 4th window of 12 long
+    (≥300-char) documents is concatenated into one bundle file, so each
+    member doc is verbatim-contained (shingle containment 1.0) at size
+    ratio ~15 — token Jaccard ≈ 0.065, far below LSH band reach — and
+    the end-to-end near-dup oracle therefore witnesses the bottom-k
+    containment-sketch candidate tier (operators/containment_index.py).
+    At sketch size 256 the expected shared-id count per member is
+    ~n_doc·256/n_bundle ≈ 17, and the derivation is seedless/hash-
+    deterministic, so recovery is exact run-over-run."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.createOrReplaceTempView("_docs_src")
     return spark.sql(
@@ -227,6 +236,19 @@ def repos_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                concat(coalesce(text, ''),
                       ' trailing patch line alpha beta gamma') AS content
         FROM _docs_src WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT 'bundle/corpus' AS repo,
+               concat('bundles/bundle_',
+                      cast(cast(floor(doc_id / 12) AS bigint) AS string),
+                      '.txt') AS path,
+               'deadbeef' AS commit, min(lang) AS lang,
+               concat_ws(' ', transform(
+                   array_sort(collect_list(struct(doc_id, text))),
+                   x -> x.text)) AS content
+        FROM _docs_src
+        WHERE text IS NOT NULL AND length(text) >= 300
+          AND cast(floor(doc_id / 12) AS bigint) % 4 = 0
+        GROUP BY cast(floor(doc_id / 12) AS bigint)
         """
     )
 
@@ -250,4 +272,15 @@ REPOS_FROM_DOCUMENTS_DUCKDB = """
            concat(coalesce(text, ''),
                   ' trailing patch line alpha beta gamma') AS content
     FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT 'bundle/corpus' AS repo,
+           concat('bundles/bundle_',
+                  cast(cast(floor(doc_id / 12) AS bigint) AS varchar),
+                  '.txt') AS path,
+           'deadbeef' AS "commit", min(lang) AS lang,
+           string_agg(text, ' ' ORDER BY doc_id) AS content
+    FROM documents
+    WHERE text IS NOT NULL AND length(text) >= 300
+      AND cast(floor(doc_id / 12) AS bigint) % 4 = 0
+    GROUP BY cast(floor(doc_id / 12) AS bigint)
 """
