@@ -120,6 +120,15 @@ def score_pairs(
     eq = F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int"))
     est_j = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / F.lit(cfg.num_perm)
 
+    # Join strategy, measured both ways at bench scale (200k files,
+    # 660k pairs, 16 cores): under the session's 64 MB broadcast
+    # threshold the pair table (~30 MB) is BROADCAST here — a serial
+    # driver-side build that does not scale with cores (verify stage
+    # ~flat 4→16) — but pinning shuffle_hash instead forces an exchange
+    # of the 1 KB/row signature frame and measured 20% SLOWER at both
+    # core counts. Broadcasting the small side is the right plan at
+    # every scale: at production size the pair table outgrows the
+    # threshold and AQE flips this to a two-sided exchange on its own.
     phase1 = (
         pairs.join(a, "src")
         .join(b, "dst")
@@ -160,6 +169,10 @@ def score_pairs(
         bkb = bk.select(F.col("file_id").alias("dst"),
                         F.col("bottomk").alias("bk_b"))
         union_k = F.slice(F.array_sort(F.array_union("bk_a", "bk_b")), 1, m)
+        # broadcast of the residual frame (same measured trade as
+        # phase1: a shuffle_hash pin exchanges the ~2 KB/row sketch
+        # frame and is slower at bench scale; AQE flips the strategy
+        # itself once residuals outgrow the threshold)
         with_bk = (
             residual_base.join(bka, "src")
             .join(bkb, "dst")
