@@ -214,7 +214,9 @@ def main() -> None:
         return round(sum(t[k] for k in PIPELINE_KEYS), 3)
 
     # Headline = the MEDIAN warm pass (an actual run, so its per-stage
-    # numbers sum to the headline; lower-middle when the count is even).
+    # numbers sum to the headline; UPPER-middle when the count is even —
+    # with 2 warm passes the lower-middle would be min(), harvesting a
+    # single favorable burst, so the even-count tie breaks conservative).
     # One warm pass is statistically worthless on this VM — co-tenant
     # bursts run up to 2.4x — and min() would harvest favorable noise;
     # the median of >=3 warm passes damps both directions. All per-pass
@@ -222,7 +224,7 @@ def main() -> None:
     # (noise_spread = max/min warm).
     warm_passes = pass_timings[1:] if len(pass_timings) > 1 else pass_timings
     warm_secs = sorted(pipe_sec(t) for t in warm_passes)
-    median_sec = warm_secs[(len(warm_secs) - 1) // 2]
+    median_sec = warm_secs[len(warm_secs) // 2]
     median_pass = next(t for t in warm_passes if pipe_sec(t) == median_sec)
     warm_pipeline_sec = median_sec
     noise_spread = (

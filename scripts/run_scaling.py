@@ -48,9 +48,12 @@ def run_bench(cores: int, sf_dir: str, amplify: int, content_repeat: int) -> dic
         SPARK_GRAFT_SF_DIR=sf_dir,
         BENCH_AMPLIFY=str(amplify),
         BENCH_CONTENT_REPEAT=str(content_repeat),
-        # >=3 passes: each arm's pipeline time is the median of its warm
-        # passes, so one burst inside one pass cannot define the arm
-        BENCH_PASSES=os.environ.get("BENCH_PASSES", "3"),
+        # 4 passes = 1 cold + 3 warm: each arm's pipeline time is the
+        # TRUE median of >=3 warm passes, so one burst inside one pass
+        # cannot define the arm (3 passes would leave only 2 warm, whose
+        # "median" degenerates to an extremum; bench.py breaks even-count
+        # ties conservatively, but 3 warm passes is the honest default)
+        BENCH_PASSES=os.environ.get("BENCH_PASSES", "4"),
         # identical logical plans in both arms: only executor-thread count
         # varies, exactly like scaling executors on a fixed-conf cluster
         SPARK_GRAFT_SHUFFLE=os.environ.get("SPARK_GRAFT_SHUFFLE", "64"),
@@ -227,8 +230,16 @@ def main() -> None:
     # same load), and the median over windows rejects burst-polluted
     # windows in either direction.
     def _median(xs):
+        # true median: average of the two middle values for even counts
+        # (xs[len//2] alone is the upper-middle — optimistically biased
+        # for speedups when the run count is even)
         xs = sorted(x for x in xs if x is not None)
-        return xs[len(xs) // 2] if xs else None
+        if not xs:
+            return None
+        mid = len(xs) // 2
+        if len(xs) % 2:
+            return xs[mid]
+        return round((xs[mid - 1] + xs[mid]) / 2, 3)
 
     med_speedup = _median([w["engine_speedup"] for w in windows])
     med_eff = round(med_speedup / (hi / lo), 3) if med_speedup else None
@@ -392,27 +403,16 @@ ceiling for these stages — all of them move data:
         f"{v['median_vs_shuffle_ceiling']} | {v['best']} | "
         f"{v['all_vs_shuffle_ceiling']} |"
         for k, v in stage_best.items()
-    ) + """
-
-## Why the raw number is a host artifact, not a plan artifact
-
-Engine-side facts that carry to a real cluster (asserted by
-`tests/test_plans.py` or visible in `.explain("formatted")`): raw content
-bytes never cross a shuffle (representative selection aggregates
-`(sha256, file_id)` only; relation windows run over skinny projections —
-asserted); the signature stage ships FIXED-WIDTH columns only (shingle
-arrays never cross Arrow; exact verification recomputes them for just the
-residual members); every stage is an equi-join / hash-aggregation on band
-keys or file ids with AQE skew handling; pair expansion is two nested
-explodes (peak per-row O(cap)); the only Python is Arrow-batched numpy;
-there are no driver-side loops over data, no partition-less windows, no
-cartesian products. Per-partition work is embarrassingly parallel; shuffle
-volumes are O(corpus) with small constants (signatures ~1 KB/row, pairs
-24 B/row). On hardware where N→4N actually multiplies memory bandwidth and
-cores, these plans scale with the hardware — on this VM they scale to the
-shuffle ceiling above and stop, exactly as the zero-engine-work control
-does.
-"""
+    ) + "\n"
+    # analysis narrative lives in scripts/BENCH_NARRATIVE.md so a re-run
+    # of this script regenerates the committed BENCH.md (data sections
+    # above are templated; the hand-written decomposition / 8→32 / policy
+    # / A/B sections are appended verbatim and updated by hand when the
+    # measurements they cite are refreshed)
+    narrative = os.path.join(REPO, "scripts", "BENCH_NARRATIVE.md")
+    if os.path.exists(narrative):
+        with open(narrative) as f:
+            md += "\n" + f.read()
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:

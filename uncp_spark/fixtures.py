@@ -215,7 +215,11 @@ def repos_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment-sketch candidate tier (operators/containment_index.py).
     At sketch size 256 the expected shared-id count per member is
     ~n_doc·256/n_bundle ≈ 17, and the derivation is seedless/hash-
-    deterministic, so recovery is exact run-over-run."""
+    deterministic, so recovery is exact run-over-run. Windows with only
+    ONE qualifying document are dropped (HAVING count >= 2): a 1-member
+    bundle is byte-identical to its member, collapsing to one exact-dup
+    representative and putting an unpayable self-pair in any
+    containment ground truth built from the bundle spec."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.createOrReplaceTempView("_docs_src")
     return spark.sql(
@@ -249,6 +253,7 @@ def repos_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE text IS NOT NULL AND length(text) >= 300
           AND cast(floor(doc_id / 12) AS bigint) % 4 = 0
         GROUP BY cast(floor(doc_id / 12) AS bigint)
+        HAVING count(*) >= 2
         """
     )
 
@@ -283,4 +288,5 @@ REPOS_FROM_DOCUMENTS_DUCKDB = """
     WHERE text IS NOT NULL AND length(text) >= 300
       AND cast(floor(doc_id / 12) AS bigint) % 4 = 0
     GROUP BY cast(floor(doc_id / 12) AS bigint)
+    HAVING count(*) >= 2
 """
