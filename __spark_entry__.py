@@ -594,10 +594,13 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     )
 
 
-# persisted `labeled` frames of previous keyed queries (retired on the
-# next _near_dup_keyed call so a long driver session doesn't accumulate
-# pinned storage)
-_keyed_handles: list = []
+# persisted `labeled` frames of previous keyed queries, keyed by the
+# (session, sf_dir) that built them: a new keyed query retires ONLY its
+# own predecessor (same session + corpus), so two pipelines interleaved
+# in one driver process no longer unpersist each other's caches, while
+# a long driver session still doesn't accumulate pinned storage (one
+# live handle per corpus)
+_keyed_handles: dict = {}
 
 
 def _near_dup_keyed(spark, sf_dir):
@@ -609,19 +612,21 @@ def _near_dup_keyed(spark, sf_dir):
     "matching cluster assignments" gate compares)."""
     # persisted: ckey aggregates the SAME labeled plan the join streams,
     # so without the pin the whole ingest→signature→LSH→verify lineage
-    # would execute twice per oracle query. Managed HERE (previous
-    # keyed frame retired when the next keyed query is built) — not via
-    # verify's scorer cache, whose release fires at plan-construction
-    # time of any score_pairs call and could drop the pin before this
-    # query's collect.
-    while _keyed_handles:
-        h = _keyed_handles.pop()
+    # would execute twice per oracle query. Managed HERE (the SAME
+    # (session, sf_dir)'s previous keyed frame is retired when its next
+    # keyed query is built — other sessions/corpora keep their pins) —
+    # not via verify's scorer cache, whose release fires at
+    # plan-construction time of any score_pairs call and could drop the
+    # pin before this query's collect.
+    key = (id(spark), sf_dir)
+    prev = _keyed_handles.pop(key, None)
+    if prev is not None:
         try:
-            h.unpersist()
+            prev.unpersist()
         except Exception:
             pass
     labeled = _near_dup_labeled(spark, sf_dir).persist()
-    _keyed_handles.append(labeled)
+    _keyed_handles[key] = labeled
     ckey = labeled.groupBy("cluster_id").agg(
         F.min(F.concat_ws("|", "repo", "path")).alias("cluster_key")
     )
@@ -832,8 +837,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_clusters": f"""
             {_FILES}
             SELECT sha256 AS hash_value,
-                   array_to_string(list_slice(list_sort(list(path)), 1, 1000), ',')
-                     AS members,
+                   CASE WHEN count(*) > 1000 THEN ''
+                        ELSE array_to_string(list_sort(list(path)), ',')
+                   END AS members,
                    count(*) AS file_count,
                    sum(size)::BIGINT AS total_size
             FROM files GROUP BY sha256 HAVING count(*) >= 2
@@ -841,8 +847,9 @@ def oracle_sql() -> dict[str, str]:
         "same_size_groups": f"""
             {_FILES}
             SELECT size AS size_bytes,
-                   array_to_string(list_slice(list_sort(list(path)), 1, 1000), ',')
-                     AS members,
+                   CASE WHEN count(*) > 1000 THEN ''
+                        ELSE array_to_string(list_sort(list(path)), ',')
+                   END AS members,
                    count(*) AS file_count
             FROM files GROUP BY size HAVING count(*) >= 2
         """,
@@ -1185,8 +1192,9 @@ def oracle_sql() -> dict[str, str]:
         "groups_containing_file": f"""
             {_FILES}
             SELECT filename AS filename_key,
-                   array_to_string(list_slice(list_sort(list(path)), 1, 1000), ',')
-                     AS members,
+                   CASE WHEN count(*) > 1000 THEN ''
+                        ELSE array_to_string(list_sort(list(path)), ',')
+                   END AS members,
                    count(*) AS file_count
             FROM files GROUP BY filename
             HAVING count(*) >= 2

@@ -251,11 +251,19 @@ def main() -> None:
 
     timed("tpch_q1", q_tpch)
 
+    ann_hot_buckets = {}
+
     def q_ann():
         from uncp_spark.functions.similarity_search import ann_topk
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         dim = len(emb.select("embedding").first()[0])
-        ann_topk(emb, k=5, dim=dim, bits=10, tables=4).count()
+        # bits=None: the scale-safe default (derived from corpus size —
+        # fixed widths go quadratic at some corpus size). The hot-bucket
+        # report is COUNTED into the headline artifact, not discarded:
+        # skew that the cap quarantined is observable here.
+        topk, hot = ann_topk(emb, k=5, dim=dim, tables=4, return_report=True)
+        topk.count()
+        ann_hot_buckets["n"] = hot.count()
 
     timed("ann_topk", q_ann)
 
@@ -283,6 +291,7 @@ def main() -> None:
         "n_clusters": n_clusters,
         "files_per_sec": round(n_files / pipeline_sec, 1) if pipeline_sec else None,
         "cores": cpus,
+        "ann_hot_buckets": ann_hot_buckets.get("n"),
         "amplify": amplify,
         "content_repeat": content_repeat,
         "worker_warmup_sec": warmup_sec,

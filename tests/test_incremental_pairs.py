@@ -275,7 +275,9 @@ def test_incremental_rejects_config_mismatch(spark, tmp_path, incr_state):
 
 
 def test_incremental_rejects_missing_checkpoint(spark, tmp_path):
-    with pytest.raises(ValueError, match="missing or incomplete"):
+    from uncp_spark.errors import CheckpointCorruptError
+
+    with pytest.raises(CheckpointCorruptError, match="missing or incomplete"):
         incremental_update(
             spark, str(tmp_path / "nothing_here"),
             spark.createDataFrame([], REPOS_SCHEMA),

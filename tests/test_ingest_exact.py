@@ -134,3 +134,35 @@ def test_exact_edges_star_shape(spark, repos_df):
     expected = sum(r["count"] - 1 for r in sizes)
     assert len(edges) == expected
     assert all(e["src"] < e["dst"] for e in edges)
+
+
+def test_group_relation_hot_key_two_phase(spark):
+    """Skew discipline for the group relations (round-4 verdict 'What's
+    wrong #1'): a key at 10× the member cap must (a) never enter the
+    member-collection path — its row appears count-only, with an EMPTY
+    file_paths and the FULL count/size — while (b) sub-cap keys keep
+    their complete sorted member lists, and (c) the plan contains no
+    window at all (the old row_number-within-key form serialized the
+    hottest key's whole membership through one ranking task before the
+    cap nulled it)."""
+    from uncp_spark.operators.exact import _group_relation
+
+    cap = 20
+    rows = [("hot", f"hot/{i:04d}.txt", 10) for i in range(cap * 10)]
+    rows += [("cold", f"cold/{i:04d}.txt", 7) for i in range(3)]
+    df = spark.createDataFrame(rows, "sha256 string, path string, size long")
+    rel = _group_relation(df, "sha256", "hash_value", max_members=cap)
+
+    # (c) plan shape: two groupBys + an anti-join, zero Window nodes
+    plan = rel._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+    got = {r["hash_value"]: r for r in rel.collect()}
+    hot, cold = got["hot"], got["cold"]
+    # (a) over-cap: count-only row, truncation detectable not silent
+    assert hot["file_paths"] == []
+    assert hot["file_count"] == cap * 10
+    assert hot["total_size"] == cap * 10 * 10
+    # (b) sub-cap: full sorted membership
+    assert cold["file_paths"] == sorted(f"cold/{i:04d}.txt" for i in range(3))
+    assert cold["file_count"] == 3

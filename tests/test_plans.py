@@ -123,12 +123,19 @@ def _node_blocks(plan: str, names: tuple[str, ...]) -> list[str]:
 
 
 def test_relation_windows_exclude_content(spark):
-    """Relation-table aggregations (hash/name/size groups, dup-in-one-
-    dim-unique-in-other) must window over a skinny projection: a window
-    hash-partitions ENTIRE input rows, so a window whose input schema
-    carries `content` re-shuffles the full corpus bytes just to produce
-    a (key, path-list, count, size) relation — invisible at sf0.01,
-    fatal at 100 TB."""
+    """Relation-table plans must never drag `content` through a shuffle:
+    a window / exchange whose input schema carries `content` re-shuffles
+    the full corpus bytes just to produce a (key, path-list, count,
+    size) relation — invisible at sf0.01, fatal at 100 TB.
+
+    The three group relations go further (round-5, two-phase skew
+    discipline): their plans contain NO window at all — the old
+    row_number-within-key form serialized the hottest key's entire
+    membership through one ranking task (partial-agg-free) before the
+    member cap nulled it, so hot keys are now handled by count-first +
+    anti-join instead (see _group_relation).
+    dup_in_one_dim_unique_in_other keeps its windows but they must stay
+    skinny."""
     from uncp_spark.fixtures import repos_from_documents
     from uncp_spark.operators.exact import (
         exact_clusters, same_name_groups, same_size_groups,
@@ -141,13 +148,17 @@ def test_relation_windows_exclude_content(spark):
         exact_clusters(files),
         same_name_groups(files),
         same_size_groups(files),
-        dup_in_one_dim_unique_in_other(files, "filename", "sha256"),
     ):
         plan = _fmt(df)
-        windows = _node_blocks(plan, ("Window", "WindowGroupLimit"))
-        assert windows, "expected a window in the relation plan"
-        for block in windows:
+        assert not _node_blocks(plan, ("Window", "WindowGroupLimit")), plan
+        for block in _node_blocks(plan, ("Exchange",)):
             assert "content#" not in block, block
+
+    plan = _fmt(dup_in_one_dim_unique_in_other(files, "filename", "sha256"))
+    windows = _node_blocks(plan, ("Window", "WindowGroupLimit"))
+    assert windows, "expected a window in the dup/unique relation plan"
+    for block in windows:
+        assert "content#" not in block, block
 
 
 def test_pair_expansion_is_two_step_explode(spark):

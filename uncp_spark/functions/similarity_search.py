@@ -140,7 +140,7 @@ def ann_candidate_ids(
 
 
 def ann_topk(
-    corpus: DataFrame, k: int, dim: int, bits: int | None = 12,
+    corpus: DataFrame, k: int, dim: int, bits: int | None = None,
     tables: int = 8, seed: int = 42, id_col: str = "vec_id",
     vec_col: str = "embedding", min_cosine: float | None = None,
     bucket_cap: int = 4096, return_report: bool = False,
@@ -150,22 +150,37 @@ def ann_topk(
     hash tables (equi-join on the bucket key — the 100 TB-safe plan,
     collision prob 1-(1-(1-θ/π)^bits)^tables), then exact cosine re-rank.
 
-    ``bits=None`` derives the signature width from the corpus size (one
-    count job) via :func:`derive_rp_bits`. Buckets over ``bucket_cap``
-    are skipped and reported (pass ``return_report=True`` for
-    ``(topk, hot_report)``). Norms are computed once per row, not once
-    per candidate pair."""
+    ``bits=None`` — the DEFAULT — derives the signature width from the
+    corpus size (one count job) via :func:`derive_rp_bits`; a fixed
+    width is opt-in, because every fixed choice goes quadratic at some
+    corpus size (12 bits ⇒ ~244k vectors/bucket/table at 10^9 rows) and
+    scale-safety should not require the caller to know that. Buckets
+    over ``bucket_cap`` are skipped and reported (pass
+    ``return_report=True`` for ``(topk, hot_report)``). Norms are
+    computed once per row, not once per candidate pair."""
     if bits is None:
         bits = derive_rp_bits(corpus.count())
     cand_ids, hot_report = ann_candidate_ids(
         corpus, dim, bits, tables, seed, id_col, vec_col, bucket_cap
     )
+    cand = _exact_cosine(corpus, cand_ids, id_col, vec_col)
+    if min_cosine is not None:
+        cand = cand.filter(F.col("cosine") >= min_cosine)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (topk, hot_report) if return_report else topk
+
+
+def _exact_cosine(corpus: DataFrame, cand_ids: DataFrame,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """Re-rank candidates by exact cosine: vectors re-joined by id (the
+    candidate exchanges stayed id-only), norms computed once per row."""
     vecs = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_v"),
         _norm(F.col(vec_col)).alias("_n"),
     )
-    cand = (
+    return (
         cand_ids
         .join(vecs, "vec_id")
         .join(
@@ -184,27 +199,40 @@ def ann_topk(
             ).alias("cosine"),
         )
     )
-    if min_cosine is not None:
-        cand = cand.filter(F.col("cosine") >= min_cosine)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
-    topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-    return (topk, hot_report) if return_report else topk
 
 
 def embedding_near_dup_pairs(
     corpus: DataFrame, dim: int, threshold: float = 0.95,
-    bits: int = 12, tables: int = 8, seed: int = 42,
+    bits: int | None = None, tables: int = 8, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
-) -> DataFrame:
+    bucket_cap: int = 4096, return_report: bool = False,
+):
     """Embedding-cosine near-dup edges (id_a < id_b, cosine ≥ threshold)
     — candidates from multi-table RP-LSH buckets, never the cross join.
     At cos ≥ 0.95 the per-table collision prob is ≈ 0.9^bits, so 8
-    tables of 12 bits give ≥ 0.97 recall."""
-    pairs = ann_topk(corpus, k=1000, dim=dim, bits=bits, tables=tables,
-                     seed=seed, id_col=id_col, vec_col=vec_col,
-                     min_cosine=threshold)
-    return (
-        pairs.filter(F.col("vec_id") < F.col("nbr_id"))
-        .select(F.col("vec_id").alias("id_a"), F.col("nbr_id").alias("id_b"), "cosine")
-        .distinct()
+    tables of 12 bits give ≥ 0.97 recall.
+
+    THRESHOLD mode, not top-k: every candidate pair at ≥ threshold is
+    an edge — no rank window, no neighbor cap. The previous form reused
+    ``ann_topk(k=1000)``, so a vector with more than 1000 true
+    ≥-threshold neighbors (duplicate-heavy corpora are exactly where
+    this runs) silently dropped edges; now the only pruning is the
+    hot-BUCKET cap, which is counted and reported, never silent
+    (``return_report=True`` → ``(edges, hot_report)``)."""
+    if bits is None:
+        bits = derive_rp_bits(corpus.count())
+    cand_ids, hot_report = ann_candidate_ids(
+        corpus, dim, bits, tables, seed, id_col, vec_col, bucket_cap
     )
+    # each unordered pair scores once: orient before the vector join
+    cand_ids = cand_ids.filter(F.col("vec_id") < F.col("nbr_id"))
+    edges = (
+        _exact_cosine(corpus, cand_ids, id_col, vec_col)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("vec_id").alias("id_a"),
+            F.col("nbr_id").alias("id_b"),
+            "cosine",
+        )
+    )
+    return (edges, hot_report) if return_report else edges

@@ -22,7 +22,7 @@ we need reproducibility, F8 in SURVEY.md).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -33,32 +33,35 @@ def _group_relation(
     files: DataFrame, key: str, out_key: str, min_count: int = 2,
     max_members: int = MAX_GROUP_MEMBERS,
 ) -> DataFrame:
-    """``file_paths`` holds at most ``max_members`` members (the first
-    ``max_members`` in path order); ``file_count``/``total_size`` always
-    cover the FULL group. At 100 TB a boilerplate hash shared by 10^6
-    files must not materialize a 10^6-element array in one aggregation
-    buffer — the cap is applied BEFORE collect_list (rank-within-group,
-    null past the cap), so the buffer is bounded; truncation is
-    detectable, not silent: file_count > size(file_paths).
+    """``file_paths`` holds the sorted member paths for groups of at most
+    ``max_members``; groups past the cap get an EMPTY list (count-only
+    row). ``file_count``/``total_size``/``first_seen`` always cover the
+    FULL group, so truncation is detectable, not silent:
+    file_count > size(file_paths).
 
-    Shuffle discipline: the window and the groupBy only ever see the
-    columns the output needs — (key, path, size[, processed_at]).
-    Windows hash-partition ENTIRE rows, so running row_number over the
-    full files frame would drag every content byte through the exchange
-    to produce a path-list relation (same class of bug fixed in
-    exact_representatives below, with the measured ~25 s rationale)."""
+    Two-phase skew discipline (the one containment_index.py:86-95
+    established): phase 1 aggregates counts per key — a 2-3-column
+    groupBy with full map-side combine, so the hottest key (a byte size
+    shared by 10^7 files, the empty-file hash) costs one partial-agg
+    row per input partition, never 10^7 rows in one reducer. Phase 2
+    collects member lists ONLY for sub-cap keys: over-cap keys are
+    anti-joined out (broadcast — there are at most N/cap of them, and
+    AQE picks the strategy at runtime) BEFORE any collect_list or sort,
+    so no aggregation buffer and no single ranking task ever sees an
+    uncapped hot key's rows. The previous form ranked every row of every
+    key through a row_number window partitioned by key — partial-agg-
+    free, so the hot key's entire membership serialized through one
+    task just to be nulled past the cap.
+
+    Shuffle discipline: both phases only ever see the columns the
+    output needs — (key, path, size[, processed_at]); dragging content
+    bytes through these exchanges is the class of bug documented in
+    exact_representatives below (measured ~25 s)."""
     needed = [key, "path", "size"]
     if "processed_at" in files.columns:
         needed.append("processed_at")
     skinny = files.select(*dict.fromkeys(needed))  # key may equal "size"
-    w = Window.partitionBy(key).orderBy("path")
-    ranked = skinny.withColumn("_mrk", F.row_number().over(w))
     aggs = [
-        F.sort_array(
-            F.collect_list(
-                F.when(F.col("_mrk") <= max_members, F.col("path"))
-            )
-        ).alias("file_paths"),
         F.count("*").alias("file_count"),
         F.sum("size").alias("total_size"),
     ]
@@ -66,10 +69,20 @@ def _group_relation(
         # F7: relation tables carry first_seen (i64 ns-epoch), matching
         # uncp's relation schemas (src/relations.rs:330,360,386)
         aggs.append(F.min("processed_at").alias("first_seen"))
-    agg = ranked.groupBy(F.col(key).alias(out_key)).agg(*aggs)
+    counts = skinny.groupBy(F.col(key).alias(out_key)).agg(*aggs)
     if min_count > 1:
-        agg = agg.filter(F.col("file_count") >= min_count)
-    return agg
+        counts = counts.filter(F.col("file_count") >= min_count)
+    over_cap = counts.filter(F.col("file_count") > max_members)
+    members = (
+        skinny.select(F.col(key).alias(out_key), "path")
+        .join(F.broadcast(over_cap.select(out_key)), out_key, "left_anti")
+        .groupBy(out_key)
+        .agg(F.sort_array(F.collect_list("path")).alias("file_paths"))
+    )
+    return counts.join(members, out_key, "left").withColumn(
+        "file_paths",
+        F.coalesce("file_paths", F.array().cast("array<string>")),
+    ).select(out_key, "file_paths", *[c for c in counts.columns if c != out_key])
 
 
 def exact_clusters(files: DataFrame, min_count: int = 2) -> DataFrame:

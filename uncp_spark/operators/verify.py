@@ -56,22 +56,63 @@ def _binom_keep_thresholds(m: int, p: float, tail: float) -> tuple[int, ...]:
         out.append(keep)
     return tuple(out)
 
-# phase-1 caches of previous score_pairs calls: retired on the next call
-# so a long-lived session running many queries doesn't accumulate
-# persisted partitions (each retire is safe — unpersist only drops the
-# cache, the plan stays recomputable)
-_phase1_handles: list[DataFrame] = []
+class ScorerCache:
+    """Owner-scoped registry of the persist handles score_pairs creates
+    (phase-1 signature comparison, residual shingle recompute).
+
+    Previously a module-global list: two pipelines interleaved in one
+    driver process would unpersist each other's phase-1 caches
+    (correctness unaffected — plans recompute — but the cache win
+    silently vanished). Each pipeline/bench run now owns a cache and
+    activates it with ``with ScorerCache() as c:`` — a contextvar keeps
+    activation thread-safe, and scope exit releases exactly that
+    owner's handles. Outside any scope, a process-global default cache
+    applies with the historical retire-on-next-call policy (a long-
+    lived ad-hoc session running many queries doesn't accumulate
+    persisted partitions). Releasing is always safe: unpersist only
+    drops the cache, the plan stays recomputable."""
+
+    def __init__(self) -> None:
+        self._handles: list[DataFrame] = []
+        self._token = None
+
+    def add(self, df: DataFrame) -> DataFrame:
+        self._handles.append(df)
+        return df
+
+    def release(self) -> None:
+        while self._handles:
+            df = self._handles.pop()
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+    def __enter__(self) -> "ScorerCache":
+        self._token = _ACTIVE_CACHE.set(self)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._token is not None:
+            _ACTIVE_CACHE.reset(self._token)
+            self._token = None
+        self.release()
+
+
+import contextvars  # noqa: E402
+
+_GLOBAL_CACHE = ScorerCache()
+_ACTIVE_CACHE: "contextvars.ContextVar[ScorerCache]" = contextvars.ContextVar(
+    "uncp_scorer_cache", default=_GLOBAL_CACHE
+)
 
 
 def release_scored_cache() -> None:
-    """Unpersist phase-1 caches left by score_pairs. Call after the
-    scored edges are materialized (checkpointed / collected)."""
-    while _phase1_handles:
-        df = _phase1_handles.pop()
-        try:
-            df.unpersist()
-        except Exception:
-            pass
+    """Unpersist phase-1 caches left by score_pairs in the ACTIVE cache
+    (the enclosing ScorerCache scope, else the process-global default).
+    Call after the scored edges are materialized (checkpointed /
+    collected)."""
+    _ACTIVE_CACHE.get().release()
 
 
 def score_pairs(
@@ -138,9 +179,12 @@ def score_pairs(
     )
     # both output branches scan phase1; persist so the 128-wide signature
     # comparison runs once (narrow 5-column cache, spills to disk if big)
-    release_scored_cache()
-    phase1 = phase1.persist(StorageLevel.MEMORY_AND_DISK)
-    _phase1_handles.append(phase1)
+    cache = _ACTIVE_CACHE.get()
+    if cache is _GLOBAL_CACHE:
+        # un-scoped callers keep the historical retire-on-next-call
+        # policy; scoped caches are released by their owner's scope exit
+        cache.release()
+    phase1 = cache.add(phase1.persist(StorageLevel.MEMORY_AND_DISK))
 
     accepted1 = (F.col("est_jaccard") >= cfg.jaccard_threshold) | (
         F.col("hamming") <= cfg.hamming_threshold
@@ -203,9 +247,18 @@ def score_pairs(
         # plan to an RDD leaf (same trade as connected-components: blocks
         # pinned to executors, not fault-tolerant — acceptable inside one
         # stage of a pipeline that checkpoints every stage to parquet).
+        # LAZY (eager=False): the Dataset is wrapped in a LogicalRDD at
+        # THIS call either way — the plan-tree cut that protects Catalyst
+        # does not depend on eagerness — but eager=True inserted a
+        # blocking materialization job into the verify stage, one of the
+        # short sequential jobs that made the stage latency-bound at
+        # bench scale (round-4 scaling verdict). Lazily the RDD
+        # materializes inside the first downstream action instead; its
+        # implicit persist still makes the three consumers share one
+        # compute.
         decided = with_bk.select(
             *base_cols, keep.alias("_keep")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         screened_out = decided.filter(~F.col("_keep")).select(*base_cols)
         residual_base = decided.filter("_keep").select(*base_cols)
     # shingle arrays only for files that actually appear in a residual
@@ -222,10 +275,9 @@ def score_pairs(
 
         # persisted: BOTH join sides (sa, sb) scan sg — without the
         # pin the tokenize+UDF recompute would run twice
-        sg = shingle_sets(files, cfg, ids=need).persist(
-            StorageLevel.MEMORY_AND_DISK
+        sg = cache.add(
+            shingle_sets(files, cfg, ids=need).persist(StorageLevel.MEMORY_AND_DISK)
         )
-        _phase1_handles.append(sg)
     else:
         raise ValueError(
             "sigs has no 'shingles' column and no files frame was given "

@@ -34,9 +34,9 @@ import threading
 
 from pyspark.sql import SparkSession
 
-
-class CancelledError(RuntimeError):
-    """Raised at the next cooperative checkpoint after cancel()."""
+# canonical home is the typed taxonomy (errors.py, uncp error.rs
+# parity); re-exported here where it has always lived
+from uncp_spark.errors import CancelledError  # noqa: F401
 
 
 class CancellationToken:

@@ -61,6 +61,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from uncp_spark.config import SimilarityConfig
+from uncp_spark.errors import CheckpointCorruptError, ConfigMismatchError
 from uncp_spark.operators.components import connected_components, label_all
 from uncp_spark.operators.containment_index import (
     containment_candidates,
@@ -179,12 +180,12 @@ def incremental_update(
         if _m is None or not os.path.exists(
             os.path.join(stage_dir(_st), "_SUCCESS")
         ):
-            raise ValueError(
+            raise CheckpointCorruptError(
                 f"incremental_update requires a completed batch checkpoint; "
                 f"stage {_st!r} at {stage_dir(_st)} is missing or incomplete"
             )
         if _m.get("config_hash") != chash:
-            raise ValueError(
+            raise ConfigMismatchError(
                 f"config mismatch: checkpoint stage {_st!r} was built with "
                 f"config_hash={_m.get('config_hash')!r} but this update uses "
                 f"{chash!r} — rerun the batch pipeline (or pass the original "

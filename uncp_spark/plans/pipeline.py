@@ -214,6 +214,7 @@ class DedupPipeline:
         ``<base_dir>/_metrics/progress.jsonl`` while stages run (uncp's
         ``SystemProgress`` analogue, see plans/progress.py); query them
         mid-run via ``plans.progress.read_progress``."""
+        from uncp_spark.operators.verify import ScorerCache
         from uncp_spark.plans.progress import ProgressReporter
 
         t0 = time.monotonic()
@@ -233,28 +234,33 @@ class DedupPipeline:
             if progress else None
         )
         try:
-            for spec in stages:
-                if cancel is not None:
-                    cancel.wait_if_paused()   # blocks while paused (T1)
-                    cancel.raise_if_cancelled()
-                if spec.name in reserved:
-                    raise ValueError(f"stage name {spec.name!r} is reserved")
-                missing = [d for d in spec.deps if d not in tokens]
-                if missing:
-                    raise ValueError(
-                        f"stage {spec.name!r} depends on {missing} which have "
-                        f"not run — stage list order must satisfy deps"
+            # this run owns its scorer persist handles (ScorerCache):
+            # two pipelines interleaved in one driver no longer retire
+            # each other's phase-1 caches; scope exit (after the last
+            # stage's checkpoint materialized) releases exactly ours
+            with ScorerCache():
+                for spec in stages:
+                    if cancel is not None:
+                        cancel.wait_if_paused()   # blocks while paused (T1)
+                        cancel.raise_if_cancelled()
+                    if spec.name in reserved:
+                        raise ValueError(f"stage name {spec.name!r} is reserved")
+                    missing = [d for d in spec.deps if d not in tokens]
+                    if missing:
+                        raise ValueError(
+                            f"stage {spec.name!r} depends on {missing} which have "
+                            f"not run — stage list order must satisfy deps"
+                        )
+                    if reporter is not None:
+                        reporter.set_stage(spec.name)
+                    tok_in = (
+                        "|".join(tokens[d] for d in spec.deps) if spec.deps else input_token
                     )
-                if reporter is not None:
-                    reporter.set_stage(spec.name)
-                tok_in = (
-                    "|".join(tokens[d] for d in spec.deps) if spec.deps else input_token
-                )
-                if spec.token_salt:
-                    tok_in = f"{tok_in}|{spec.token_salt}"
-                df, tok = self._run_stage(spark, spec, tok_in, ctx, results, resume)
-                ctx[spec.name] = df
-                tokens[spec.name] = tok
+                    if spec.token_salt:
+                        tok_in = f"{tok_in}|{spec.token_salt}"
+                    df, tok = self._run_stage(spark, spec, tok_in, ctx, results, resume)
+                    ctx[spec.name] = df
+                    tokens[spec.name] = tok
         finally:
             if reporter is not None:
                 reporter.stop()

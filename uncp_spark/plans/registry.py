@@ -195,7 +195,9 @@ def save_relation(name: str, files: DataFrame, store_dir: str,
     if old is not None:
         stored = old.get("relation_version", 1)
         if stored != spec.version:
-            raise ValueError(
+            from uncp_spark.errors import VersionMismatchError
+
+            raise VersionMismatchError(
                 f"relation {name!r} store at {path} holds schema version "
                 f"{stored} but the registered producer declares version "
                 f"{spec.version}; refusing to merge mixed schemas — "

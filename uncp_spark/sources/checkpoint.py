@@ -113,8 +113,29 @@ def write_checkpoint(
     # ONE scan per checkpoint: the write job is the only job this
     # function runs — rows and per-partition metrics come from the
     # parquet footers (tested via statusTracker job counts)
-    per_part = partition_metrics(path)
-    rows = sum(p["rows"] for p in per_part)
+    metrics_error = None
+    try:
+        per_part = partition_metrics(path)
+        rows = sum(p["rows"] for p in per_part)
+    except OSError as e:
+        # non-local checkpoint target (hdfs://, s3a://): the footer walk
+        # is a local-filesystem shortcut — the deployable artifact gets
+        # its per-partition metrics from the Iceberg/parquet manifest
+        # layer instead. Fail SOFT: count rows from the written files
+        # (one metadata-cheap read job) and record why the per-partition
+        # block is empty, so the manifest is still written and the
+        # lineage chain stays intact.
+        import warnings
+
+        warnings.warn(
+            f"partition_metrics unavailable for {path!r} ({e}); falling "
+            "back to a post-write count — per-partition metrics come "
+            "from the table-format manifest layer on non-local storage",
+            stacklevel=2,
+        )
+        metrics_error = str(e)
+        per_part = []
+        rows = df.sparkSession.read.parquet(path).count()
     seconds = time.monotonic() - t0
     manifest = {
         "stage": name,
@@ -130,6 +151,7 @@ def write_checkpoint(
         # so ANY upstream rebuild (even same row count) invalidates all
         # downstream checkpoints through the token chain
         "nonce": uuid.uuid4().hex,
+        **({"partition_metrics_error": metrics_error} if metrics_error else {}),
         **(extra or {}),
     }
     tmp = _manifest_path(path) + ".tmp"
@@ -207,6 +229,19 @@ def recover_merge_target(path: str) -> None:
 
 
 def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
+    """Read a stage checkpoint back. A LOCAL directory that exists but
+    lost its ``_SUCCESS`` marker (killed mid-write, partial cleanup) is
+    a corrupt store — raise the typed error so callers rebuild the
+    stage instead of silently reading a partial commit. Non-local paths
+    skip the check (their committer's atomicity applies)."""
+    if os.path.isdir(path) and not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from uncp_spark.errors import CheckpointCorruptError
+
+        raise CheckpointCorruptError(
+            f"checkpoint at {path!r} has no _SUCCESS marker — the write "
+            "never committed; rebuild the stage (resume skips only "
+            "manifest-complete stages)"
+        )
     return spark.read.parquet(path)
 
 
