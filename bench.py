@@ -187,8 +187,15 @@ def main() -> None:
 
         edges = timed("verify_edges", build_edges)
 
+        # reliable-checkpoint mode, same as DedupPipeline's labels stage:
+        # each probe is ONE Spark job (convergence checksum rides the
+        # parquet write as observed metrics) vs localCheckpoint mode's
+        # two barrier jobs per probe — CC was the largest single piece
+        # of the sequential-job tail that capped N→4N scaling
         labels = timed("connected_components",
-                       lambda: connected_components(edges).persist())
+                       lambda: connected_components(
+                           edges, checkpoint_dir=os.path.join(ckpt_dir, "cc")
+                       ).persist())
         labels.count()
 
         def build_priority():

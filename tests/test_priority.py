@@ -54,3 +54,23 @@ def test_sql_views(spark):
     assert top[0]["cluster_id"] == 4 and top[0]["path"] == "e/f/g/h/big.rs"
     paths = {r["path"] for r in top}
     assert "x.py" not in paths and "d/big.rs" not in paths
+
+
+def test_global_rank_plans_without_actions(spark):
+    """The two-pass rank (collect band counts at plan-construction time,
+    then rank in a second pass over the same lineage) was part of the
+    sequential-job tail that capped N→4N scaling. The band offsets now
+    run in-plan as a bounded (≤ ~64-row) cumulative-sum window, so
+    BUILDING the ranked plan must fire zero Spark jobs — the consuming
+    stage's sink action pays for everything in one pass (AQE may split
+    that action into several scheduler jobs; the property that matters
+    is no mid-plan driver barrier)."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    sc = spark.sparkContext
+    sc.setJobGroup("rank-plan-only", "global rank plan probe")
+    try:
+        priority_ranked(cluster_stats(df))  # plan construction only
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("rank-plan-only")
+    assert not jobs, f"plan construction ran jobs: {jobs}"

@@ -9,8 +9,13 @@ Algorithm: alternating large-star / small-star (Kiveris et al., 2014,
 "Connected Components in MapReduce and Beyond"). Each operation is one
 groupBy-min + one join — all equi-shuffles on node id — and the
 alternation converges in O(log n) rounds even on high-diameter graphs,
-unlike naive label propagation's O(diameter). Every round checkpoints
-to cut lineage (SURVEY.md §7.3 hard part #2): with a ``checkpoint_dir``
+unlike naive label propagation's O(diameter). Every SECOND round
+checkpoints to cut lineage (SURVEY.md §7.3 hard part #2) — probing every
+round made the stage latency-bound at small scale (the barrier jobs cost
+more than the shuffle work between them) and two rounds of lineage is
+still shallow — and the convergence checksum rides the checkpoint write
+as observed metrics, so each probe is ONE Spark job total; with a
+``checkpoint_dir``
 the cut is a RELIABLE checkpoint (parquet write + read-back — survives
 executor loss, required at cluster scale where a lost executor would
 otherwise kill the job mid-iteration); without one it falls back to
@@ -73,11 +78,15 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _checksum(e: DataFrame) -> tuple[int, int]:
-    row = e.agg(
-        F.count("*").alias("n"),
+def _checksum_aggs() -> list:
+    return [
+        F.count(F.lit(1)).alias("n"),
         F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-    ).collect()[0]
+    ]
+
+
+def _checksum(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(*_checksum_aggs()).collect()[0]
     return int(row["n"]), int(row["h"])
 
 
@@ -107,25 +116,61 @@ def connected_components(
     if checkpoint_dir is not None:
         import os
 
+        from pyspark.sql import Observation
+
         os.makedirs(checkpoint_dir, exist_ok=True)
 
-        def cut(df: DataFrame, i: int) -> DataFrame:
+        def cut(df: DataFrame, i: int) -> tuple[DataFrame, tuple[int, int]]:
+            # the convergence checksum rides the WRITE job as observed
+            # metrics (computed while rows stream to parquet) — zero
+            # extra Spark jobs per probe, vs a read-back + agg + collect
+            # barrier; at bench scale those per-probe barrier jobs were
+            # the bulk of CC's non-scaling sequential tail
             path = os.path.join(checkpoint_dir, f"cc_iter_{i % 2}.parquet")
-            df.write.mode("overwrite").parquet(path)
-            return spark.read.parquet(path)
+            obs = Observation(f"cc_checksum_{i}")
+            df.observe(obs, *_checksum_aggs()).write.mode(
+                "overwrite"
+            ).parquet(path)
+            m = obs.get
+            return spark.read.parquet(path), (int(m["n"]), int(m["h"]))
     else:
-        def cut(df: DataFrame, i: int) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+        def cut(df: DataFrame, i: int) -> tuple[DataFrame, tuple[int, int]]:
+            out = df.localCheckpoint(eager=True)
+            # localCheckpoint's internal job does not report observed
+            # metrics, so the local-mode fallback pays the explicit agg
+            return out, _checksum(out)
 
-    e = cut(_canonical(edges), -1)
+    e, _ = cut(_canonical(edges), -1)
     prev = None
-    for it in range(max_iter):
-        e = cut(_small_star(_large_star(e)), it)
-        cur = _checksum(e)
+    it = 0
+    converged = False
+    # TWO rounds per barrier: the cut (parquet write + read-back) and
+    # the checksum collect are the stage's sequential-job tail — at
+    # bench scale each round's actual shuffle work is smaller than the
+    # scheduler latency of its two barrier jobs, so probing every round
+    # made CC latency-bound (round-4 scaling verdict). Stacking two
+    # large/small-star rounds into one cut executes the same shuffle
+    # work per probe but HALVES the barrier count; the lineage between
+    # cuts stays bounded (~10 narrow ops). Convergence detection is
+    # unchanged in kind — a fixpoint of one round is a fixpoint of two,
+    # so equal checksums two rounds apart still certify convergence; in
+    # the worst case we pay one extra probe of no-op star rounds on the
+    # already-converged forest (cheap: |V| edges, no growth).
+    probe = 0
+    while it < max_iter:
+        for _ in range(min(2, max_iter - it)):
+            e = _small_star(_large_star(e))
+            it += 1
+        # the cut index must ALTERNATE (cc_iter_{i % 2}): each probe's
+        # plan reads the previous probe's parquet, so writing to the
+        # same slot would overwrite its own input mid-job
+        e, cur = cut(e, probe)
+        probe += 1
         if cur == prev:
+            converged = True
             break
         prev = cur
-    else:
+    if not converged:
         raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 
     # converged edge set is a forest of stars: u → component-min

@@ -63,31 +63,41 @@ def global_rank(df: DataFrame, order: list, band: "F.Column",
     COARSENS the order: band(a) < band(b) ⇒ a sorts before b (for the
     priority order, a descending log2 bucket of the leading sort key).
     Rows are ranked within their band by a partitioned window, then each
-    band adds the cumulative row count of the bands before it — a tiny
-    driver-side array (one int per band, like the CC convergence
-    checksum), joined back broadcast. Every data-sized step is
-    distributed; a value-derived band (unlike repartitionByRange's
-    SAMPLED boundaries) is identical across re-executions, so the
-    rank-vs-offset consistency needs no caching."""
-    spark = df.sparkSession
+    band adds the cumulative row count of the bands before it. The
+    offsets are a running sum over the band-COUNT aggregate — at most
+    ~64 rows by construction (one per log2 bucket of a 64-bit value),
+    so it runs as an in-plan single-partition window over a bounded
+    frame and joins back broadcast. Expressing the offsets in-plan
+    (rather than collecting them to a driver array) removes the only
+    mid-plan action from the ranking: the stage that consumes the rank
+    is ONE Spark job, not a count-collect barrier followed by a second
+    pass over the same lineage — at bench scale the two-pass rank was
+    part of the sequential-job tail that capped N→4N scaling (round-4
+    verdict). Every data-sized step is distributed; a value-derived
+    band (unlike repartitionByRange's SAMPLED boundaries) is identical
+    across re-executions, so rank-vs-offset consistency needs no
+    caching."""
     banded = df.withColumn("_band", band)
     local = banded.withColumn(
         "_local_rank",
         F.row_number().over(Window.partitionBy("_band").orderBy(*order)),
     )
-    counts = sorted(
-        (r["_band"], r["n"])
-        for r in banded.groupBy("_band").agg(F.count("*").alias("n")).collect()
+    # single-partition BY CONSTRUCTION bounded: input is one row per
+    # band (≤ ~64), not a data-sized frame — the in-plan analogue of
+    # the tiny driver-side offset array
+    wb = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets, acc = [], 0
-    for b, n in counts:
-        offsets.append((b, acc))
-        acc += n
-    if not offsets:  # empty input: keep the schema, zero rows
-        return df.withColumn(rank_col, F.lit(None).cast("int"))
-    off_df = spark.createDataFrame(offsets, ["_band", "_offset"])
+    offsets = (
+        banded.groupBy("_band")
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_offset", F.coalesce(F.sum("_n").over(wb), F.lit(0)))
+        .select("_band", "_offset")
+    )
     return (
-        local.join(F.broadcast(off_df), "_band")
+        local.join(F.broadcast(offsets), "_band")
         .withColumn(rank_col, (F.col("_offset") + F.col("_local_rank")).cast("int"))
         .drop("_band", "_local_rank", "_offset")
     )
