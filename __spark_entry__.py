@@ -287,6 +287,62 @@ def q_media_metadata(spark, sf_dir):
     return media_metadata(media)
 
 
+def q_media_dimensions(spark, sf_dir):
+    """F13 real half: plant REAL PNG/GIF/JPEG header bytes (synthesized
+    deterministically from doc_id, pure column math → unhex) and recover
+    width/height/channels by parsing those bytes with media_dimensions.
+    The oracle asserts the planted ground truth, so a parser that reads
+    the wrong offset, endianness, or JPEG segment fails the hash match.
+    JPEG is the adversarial case: the APP0 length varies per row, so the
+    SOF frame header sits at a data-dependent offset."""
+    from uncp_spark.functions.multimodal import media_dimensions
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def hex2(c):
+        return F.lpad(F.lower(F.hex(c)), 2, "0")
+
+    def hex4(c):
+        return F.lpad(F.lower(F.hex(c)), 4, "0")
+
+    def hex8(c):
+        return F.lpad(F.lower(F.hex(c)), 8, "0")
+
+    d = F.col("doc_id")
+    w = (d % 1000 + 16).cast("long")
+    h = ((d * 7) % 1000 + 16).cast("long")
+    # PNG color type cycles through the five legal values
+    ct = F.element_at(F.array(*[F.lit(v) for v in (0, 2, 3, 4, 6)]),
+                      (d % 5 + 1).cast("int"))
+    png_hex = F.concat(
+        F.lit("89504e470d0a1a0a" + "0000000d" + "49484452"),
+        hex8(w), hex8(h), F.lit("08"), hex2(ct), F.lit("000000"),
+    )
+    gif_hex = F.concat(
+        F.lit("474946383961"),
+        hex2(w % 256), hex2((w / 256).cast("long")),
+        hex2(h % 256), hex2((h / 256).cast("long")),
+        F.lit("f70000"),
+    )
+    pad = (d % 24 + 1).cast("int")
+    jch = F.when(d % 2 == 0, F.lit(3)).otherwise(F.lit(1))
+    jpeg_hex = F.concat(
+        F.lit("ffd8" + "ffe0"), hex4(pad + 2), F.repeat(F.lit("4a"), pad),
+        F.lit("ffc0"), hex4(jch * 3 + 8), F.lit("08"), hex4(h), hex4(w),
+        hex2(jch), F.repeat(F.lit("011100"), jch),
+    )
+    payload_hex = (
+        F.when(d % 4 == 0, png_hex)
+        .when(d % 4 == 1, gif_hex)
+        .when(d % 4 == 2, jpeg_hex)
+        .otherwise(F.lit("000102030405060708"))
+    )
+    media = docs.select(
+        d.alias("media_id"), F.unhex(payload_hex).alias("payload")
+    )
+    return media_dimensions(media)
+
+
 def _jaccard_pair_edges(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Exact token-set Jaccard pairs with a *lossless* length-bucket
     blocker: J(A,B) ≥ t implies min(|A|,|B|)/max(|A|,|B|) ≥ t, so at
@@ -723,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_stats_by_lang": q_token_stats_by_lang,
         "media_metadata": q_media_metadata,
+        "media_dimensions": q_media_dimensions,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
@@ -999,6 +1056,33 @@ def oracle_sql() -> dict[str, str]:
                    END AS media_type,
                    sha256(text) AS sha256
             FROM h
+        """,
+        # ground truth of the planted headers (q_media_dimensions
+        # synthesizes payloads from doc_id; Spark must RECOVER these by
+        # parsing the bytes — wrong offset/endianness/segment → mismatch)
+        "media_dimensions": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'image/png'
+                     WHEN 1 THEN 'image/gif'
+                     WHEN 2 THEN 'image/jpeg'
+                     ELSE 'application/octet-stream'
+                   END AS media_type,
+                   CASE WHEN doc_id % 4 IN (0, 1, 2)
+                        THEN (doc_id % 1000 + 16)::INT END AS width,
+                   CASE WHEN doc_id % 4 IN (0, 1, 2)
+                        THEN ((doc_id * 7) % 1000 + 16)::INT END AS height,
+                   CASE
+                     WHEN doc_id % 4 = 0 THEN
+                       CASE doc_id % 5  -- color type [0,2,3,4,6] → channels
+                         WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1
+                         WHEN 3 THEN 2 WHEN 4 THEN 4
+                       END::INT
+                     WHEN doc_id % 4 = 1 THEN 3
+                     WHEN doc_id % 4 = 2 THEN
+                       (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)::INT
+                   END AS channels
+            FROM documents
         """,
         "ngram_jaccard_pairs": """
             WITH toks AS (

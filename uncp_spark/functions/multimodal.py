@@ -61,6 +61,141 @@ def media_metadata(df: DataFrame, id_col: str = "media_id",
     )
 
 
+# ---------------------------------------------------------------- F13:
+# real header parsing for the formats whose dimensions are recoverable
+# without a codec library (uncp declares the img_hash/similar intent,
+# Cargo.toml:47-49, and ships only the stub src/similarity.rs:1-7 — this
+# takes the metadata half of that feature from stub to real).
+
+def _u8(col, pos: int) -> "F.Column":
+    """1-based byte at ``pos`` of a binary column, as int (JVM-side)."""
+    return F.conv(F.hex(F.substring(col, pos, 1)), 16, 10).cast("int")
+
+
+def _be16(col, pos: int) -> "F.Column":
+    return F.conv(F.hex(F.substring(col, pos, 2)), 16, 10).cast("int")
+
+
+def _be32(col, pos: int) -> "F.Column":
+    return F.conv(F.hex(F.substring(col, pos, 4)), 16, 10).cast("int")
+
+
+def _le16(col, pos: int) -> "F.Column":
+    # GIF is little-endian: low byte first
+    return (_u8(col, pos + 1) * 256 + _u8(col, pos)).cast("int")
+
+
+# JPEG SOF markers that carry frame dimensions: C0-CF minus C4 (DHT),
+# C8 (JPG extension), CC (DAC)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_sof_scan(b: bytes):
+    """Walk JPEG segments from SOI to the first SOF frame header:
+    (width, height, n_components) or None. Segment lengths are BE16 and
+    INCLUDE the length field, so the SOF offset is data-dependent — a
+    fixed-offset read would break on any file whose APPn/COM/DQT
+    payload sizes differ; this scan is why JPEG takes the Arrow-batch
+    path while PNG/GIF stay pure column math."""
+    n = len(b)
+    if n < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        return None
+    i = 2
+    while i + 3 < n:
+        if b[i] != 0xFF:
+            return None  # desynced: not a marker boundary
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone
+            i += 2
+            continue
+        seg_len = (b[i + 2] << 8) | b[i + 3]
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF:
+            if i + 9 >= n:
+                return None
+            height = (b[i + 5] << 8) | b[i + 6]
+            width = (b[i + 7] << 8) | b[i + 8]
+            return (width, height, b[i + 9])
+        i += 2 + seg_len
+    return None
+
+
+def _jpeg_dims_udf():
+    """Built lazily: ``pandas_udf`` parses its DDL return type against
+    the ACTIVE session, so a module-level decorator would make importing
+    this module require a running SparkContext (breaks pytest collection
+    and any driver that imports before building its session)."""
+    @F.pandas_udf("width int, height int, channels int")
+    def jpeg_dims(payloads: pd.Series) -> pd.DataFrame:
+        out = []
+        for p in payloads:
+            dims = _jpeg_sof_scan(bytes(p)) if p is not None else None
+            out.append(dims if dims is not None else (None, None, None))
+        return pd.DataFrame(out, columns=["width", "height", "channels"])
+    return jpeg_dims
+
+
+def media_dimensions(df: DataFrame, id_col: str = "media_id",
+                     bin_col: str = "payload") -> DataFrame:
+    """(id, payload) → (media_id, media_type, width, height, channels)
+    by parsing the actual header bytes — no codec library.
+
+      PNG  IHDR is the mandatory first chunk at a FIXED offset: width
+           BE32 @17, height BE32 @21, color type @26 (channels: 0→1
+           grey, 2→3 RGB, 3→1 palette, 4→2 grey+A, 6→4 RGBA). Pure
+           column expressions — whole-stage codegen, no Python.
+      GIF  logical screen descriptor: width LE16 @7, height LE16 @9;
+           palette formats render RGB → channels 3. Column math too.
+      JPEG dimensions live in the SOF segment at a VARIABLE offset
+           (after arbitrary APPn/COM/DQT segments), so JPEG rows take
+           an Arrow-batched segment scan (_jpeg_dims_udf); the UDF
+           receives NULL for every non-JPEG row, so only actual JPEG
+           bytes cross the Arrow boundary.
+
+    Non-media payloads (and truncated headers) yield NULL dimensions;
+    ``media_type`` still reports the sniff result."""
+    mt = df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(bin_col).alias("_p"),
+        sniff_media_type(F.col(bin_col)).alias("media_type"),
+        F.octet_length(bin_col).alias("_len"),
+    )
+    p = F.col("_p")
+    is_png = (F.col("media_type") == "image/png") & (F.col("_len") >= 26)
+    is_gif = (F.col("media_type") == "image/gif") & (F.col("_len") >= 10)
+    is_jpeg = F.col("media_type") == "image/jpeg"
+    png_channels = (
+        F.when(_u8(p, 26) == 0, 1)
+        .when(_u8(p, 26) == 2, 3)
+        .when(_u8(p, 26) == 3, 1)
+        .when(_u8(p, 26) == 4, 2)
+        .when(_u8(p, 26) == 6, 4)
+    )
+    # materialize the UDF struct ONCE (a column reference per field
+    # would otherwise risk three Arrow passes over the same payloads)
+    staged = mt.withColumn("_j", _jpeg_dims_udf()(F.when(is_jpeg, p)))
+    return staged.select(
+        "media_id",
+        "media_type",
+        F.when(is_png, _be32(p, 17))
+        .when(is_gif, _le16(p, 7))
+        .when(is_jpeg, F.col("_j.width"))
+        .alias("width"),
+        F.when(is_png, _be32(p, 21))
+        .when(is_gif, _le16(p, 9))
+        .when(is_jpeg, F.col("_j.height"))
+        .alias("height"),
+        F.when(is_png, png_channels)
+        .when(is_gif, F.lit(3))
+        .when(is_jpeg, F.col("_j.channels"))
+        .alias("channels"),
+    )
+
+
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in for a real decoder: hash-seeded feature
     vector with the exact shape/dtype a real extractor would produce."""
