@@ -130,6 +130,7 @@ def incremental_update(
     scorer: str = "minhash_simhash_containment",
     input_token: str = "incremental",
     processed_at_ns: int | None = None,
+    force_keys: DataFrame | None = None,
 ) -> dict:
     """Merge a new corpus snapshot into an existing pipeline checkpoint.
 
@@ -139,7 +140,19 @@ def incremental_update(
     Returns the same output dict shape as ``DedupPipeline.run`` plus a
     ``report`` whose ``delta`` section records exactly how much work
     each tier did — the numbers the delta-only guarantee is asserted on.
-    """
+
+    ``force_keys`` — optional (repo, path) frame: rows whose key appears
+    here are treated as CHANGED even when their (repo, path, commit)
+    fingerprint matches the checkpoint, i.e. the old row is retired and
+    the current row re-ingested through the delta tiers. This is the
+    scoped-invalidation lever behind ``rescan_paths`` (uncp's
+    ``EngineCommand::SetPathFilter`` + Start, src/engine.rs:66-81):
+    commit fingerprints are TRUSTED by default exactly as uncp trusts
+    stat metadata, and this is the escape hatch when that trust is
+    wrong for a known subtree. The forced rows ride the existing
+    modified-file path (same file_id in both ``dead`` and ``delta`` —
+    the id is the md5 of repo/path, so a changed file always does
+    this), so no downstream tier needs a special case."""
     cfg = cfg or SimilarityConfig()
     t0 = time.monotonic()
     chash = cfg.config_hash()
@@ -217,11 +230,23 @@ def incremental_update(
     # ------------------------------------------------ tier 1: file diff
     with timed("files"):
         cur_keys = current_repos.select(*VKEY)
-        survivors = files_old.join(cur_keys, VKEY, "left_semi")
-        delta_repos = current_repos.join(
-            files_old.select(*VKEY), VKEY, "left_anti"
-        )
-        dead = files_old.join(cur_keys, VKEY, "left_anti")
+        if force_keys is not None:
+            # a forced (repo, path) is never a survivor: its old row
+            # dies and its current row re-enters as delta, regardless of
+            # the commit fingerprint
+            fk = force_keys.select("repo", "path").distinct()
+            survivor_keys = (
+                files_old.select(*VKEY)
+                .join(cur_keys, VKEY, "left_semi")
+                .join(fk, ["repo", "path"], "left_anti")
+            )
+        else:
+            survivor_keys = files_old.select(*VKEY).join(
+                cur_keys, VKEY, "left_semi"
+            )
+        survivors = files_old.join(survivor_keys, VKEY, "left_semi")
+        delta_repos = current_repos.join(survivor_keys, VKEY, "left_anti")
+        dead = files_old.join(survivor_keys, VKEY, "left_anti")
         dead_ids = _ids(dead).persist()
         files_delta = ingest(delta_repos, processed_at_ns=processed_at_ns)
         files_new, tok_files = write_stage(
