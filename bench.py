@@ -187,15 +187,15 @@ def main() -> None:
 
         edges = timed("verify_edges", build_edges)
 
-        # reliable-checkpoint mode, same as DedupPipeline's labels stage:
-        # each probe is ONE Spark job (convergence checksum rides the
-        # parquet write as observed metrics) vs localCheckpoint mode's
-        # two barrier jobs per probe — CC was the largest single piece
-        # of the sequential-job tail that capped N→4N scaling
+        # local-checkpoint mode: each probe is ONE job (the lazy cut
+        # materializes inside the checksum agg), blocks stay in executor
+        # memory. Measured against reliable-parquet probes at the bench
+        # corpus: the parquet writes ride this VM's serialized disk path
+        # and cost 2-3x CC wall time, while on a real cluster the labels
+        # stage runs DedupPipeline's parquet+observed-metrics mode for
+        # fault tolerance (same probe structure, one write job per probe)
         labels = timed("connected_components",
-                       lambda: connected_components(
-                           edges, checkpoint_dir=os.path.join(ckpt_dir, "cc")
-                       ).persist())
+                       lambda: connected_components(edges).persist())
         labels.count()
 
         def build_priority():

@@ -135,9 +135,13 @@ def connected_components(
             return spark.read.parquet(path), (int(m["n"]), int(m["h"]))
     else:
         def cut(df: DataFrame, i: int) -> tuple[DataFrame, tuple[int, int]]:
-            out = df.localCheckpoint(eager=True)
-            # localCheckpoint's internal job does not report observed
-            # metrics, so the local-mode fallback pays the explicit agg
+            # LAZY mark + checksum agg: the agg is the frame's first
+            # action, so the one job both materializes the checkpoint
+            # blocks and returns the convergence checksum — the local
+            # mode's analogue of the observed-metrics fusion above
+            # (localCheckpoint's own eager job cannot report observed
+            # metrics, and an eager cut + separate agg is two barriers)
+            out = df.localCheckpoint(eager=False)
             return out, _checksum(out)
 
     e, _ = cut(_canonical(edges), -1)
