@@ -650,13 +650,21 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     )
 
 
-# persisted `labeled` frames of previous keyed queries, keyed by the
-# (session, sf_dir) that built them: a new keyed query retires ONLY its
-# own predecessor (same session + corpus), so two pipelines interleaved
-# in one driver process no longer unpersist each other's caches, while
-# a long driver session still doesn't accumulate pinned storage (one
-# live handle per corpus)
-_keyed_handles: dict = {}
+def _keyed_handles(spark) -> dict:
+    """Session-scoped registry of persisted `labeled` frames from
+    previous keyed queries, keyed by the sf_dir that built them: a new
+    keyed query retires ONLY its own predecessor (same session +
+    corpus), so two pipelines interleaved in one driver process never
+    unpersist each other's caches, while a long driver session still
+    doesn't accumulate pinned storage (one live handle per corpus).
+    Stored ON the session object (mirror of the owner-scoped
+    ScorerCache in operators/verify.py) so the registry's lifetime is
+    the session's, not the module's."""
+    reg = getattr(spark, "_uncp_keyed_handles", None)
+    if reg is None:
+        reg = {}
+        spark._uncp_keyed_handles = reg
+    return reg
 
 
 def _near_dup_keyed(spark, sf_dir):
@@ -674,15 +682,15 @@ def _near_dup_keyed(spark, sf_dir):
     # not via verify's scorer cache, whose release fires at
     # plan-construction time of any score_pairs call and could drop the
     # pin before this query's collect.
-    key = (id(spark), sf_dir)
-    prev = _keyed_handles.pop(key, None)
+    handles = _keyed_handles(spark)
+    prev = handles.pop(sf_dir, None)
     if prev is not None:
         try:
             prev.unpersist()
         except Exception:
             pass
     labeled = _near_dup_labeled(spark, sf_dir).persist()
-    _keyed_handles[key] = labeled
+    handles[sf_dir] = labeled
     ckey = labeled.groupBy("cluster_id").agg(
         F.min(F.concat_ws("|", "repo", "path")).alias("cluster_key")
     )

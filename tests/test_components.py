@@ -67,6 +67,34 @@ def test_cc_deterministic_cluster_ids(spark):
     assert got == {2: 2, 5: 2, 9: 2, 30: 30, 40: 30}
 
 
+def test_cc_probe_cadence_shallow_graph(spark):
+    """A graph already in star form reaches fixpoint after ONE round and
+    the probe-every-round cadence must detect that immediately — the
+    round-5 regression executed a stacked second full-edge-set star
+    round on exactly this shape (the bench corpus's dominant case)."""
+    from uncp_spark.operators import components as cc
+
+    edges = [(0, i) for i in range(1, 7)]
+    _run_cc(spark, edges)
+    assert cc.LAST_RUN_STATS == {"rounds": 1, "probes": 1}
+
+
+def test_cc_probe_cadence_deep_graph_stacks(spark):
+    """Past round 3 the graph has proven deep; rounds are stacked two
+    per barrier, so probes < rounds — the latency win stacking exists
+    for — while every round stays convergence-checked."""
+    from uncp_spark.operators import components as cc
+
+    n = 300
+    edges = [(i, i + 1) for i in range(n)]
+    got = _run_cc(spark, edges)
+    assert set(got.values()) == {0}
+    stats = cc.LAST_RUN_STATS
+    assert stats["rounds"] > 3
+    # 3 single-round probes, then 2 rounds per probe
+    assert stats["probes"] == 3 + (stats["rounds"] - 3 + 1) // 2
+
+
 def test_label_all_singletons(spark):
     files = spark.createDataFrame([(1,), (2,), (3,)], "file_id long")
     labels = connected_components(spark.createDataFrame([(1, 2)], "src long, dst long"))

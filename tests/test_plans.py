@@ -220,8 +220,9 @@ def test_ingest_stays_in_codegen(spark):
 
 def test_containment_index_is_single_exchange(spark):
     """The sketch inverted index is exchanged once (the bucket groupBy):
-    the hot-shingle exclusion is a BROADCAST anti-join — never a second
-    shuffle of the full index — and the size filter runs post-agg. The
+    the shareable-shid prefilter (2 <= size <= cap) is a BROADCAST
+    semi-join — never a second shuffle of the full index — so singleton
+    and hot entries die map-side before the collect_list exchange. The
     sizes pre-pass partial-aggregates map-side, so its exchange carries
     one row per distinct shid, not the index. Regression here doubles
     the candidate-tier shuffle volume at any scale."""
@@ -237,13 +238,14 @@ def test_containment_index_is_single_exchange(spark):
     )
     pairs, _hot = containment_candidates(sigs, CFG)
     plan = _fmt(pairs)
-    # hot exclusion broadcasts: a left-anti BroadcastHashJoin exists...
-    anti = [b for b in _node_blocks(plan, ("BroadcastHashJoin",))
-            if "LeftAnti" in b]
-    assert anti, "hot-shingle exclusion must be a broadcast anti-join"
-    # ...and no shuffle-based anti join re-exchanges the index
+    # the shareable-shid prefilter broadcasts: a left-semi
+    # BroadcastHashJoin exists...
+    semi = [b for b in _node_blocks(plan, ("BroadcastHashJoin",))
+            if "LeftSemi" in b]
+    assert semi, "shareable-shid prefilter must be a broadcast semi-join"
+    # ...and no shuffle-based semi/anti join re-exchanges the index
     assert not any(
-        "LeftAnti" in b
+        "LeftSemi" in b or "LeftAnti" in b
         for b in _node_blocks(plan, ("SortMergeJoin", "ShuffledHashJoin"))
     )
     # the index's struct payload crosses exactly one shid-partitioned

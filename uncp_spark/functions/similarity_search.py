@@ -98,6 +98,31 @@ def derive_rp_bits(n_rows: int, target_bucket: int = 128,
     return max(lo, min(hi, math.ceil(math.log2(max(n_rows, 2) / target_bucket))))
 
 
+# persist handle for the bucket-id frame of the most recent
+# ann_candidate_ids call, retired at the next call (the verify-stage
+# ScorerCache policy): a long-lived session never accumulates pinned
+# blocks, while within one query the frame is computed once
+_CAND_CACHE: list = []
+
+
+def _retire_cand_cache() -> None:
+    while _CAND_CACHE:
+        df = _CAND_CACHE.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+def _corpus_rows(corpus: DataFrame, n_rows: int | None) -> int:
+    """Corpus size for bits derivation: the caller's hint when given
+    (pipelines already know their file/vector counts — re-counting here
+    would add a full count action inside the query, measured at ~0.5 s
+    per call on the bench), else one count job (the scale-safe default
+    for callers that know nothing)."""
+    return n_rows if n_rows is not None else corpus.count()
+
+
 def ann_candidate_ids(
     corpus: DataFrame, dim: int, bits: int, tables: int = 8,
     seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
@@ -121,6 +146,17 @@ def ann_candidate_ids(
         corpus.select(F.col(id_col), F.col(vec_col)), dim, bits, tables,
         seed, vec_col,
     ).select(F.col(id_col).alias("vec_id"), "table", "bucket")
+    # the bucket-id frame is referenced by the size count, BOTH sides of
+    # the bucket self-join, and (via hot_report) a possible second
+    # action — without the pin the rp-signature pandas UDF re-evaluates
+    # the whole corpus once per reference (~4x per ann query, the
+    # dominant cost of the bench's ann_topk stage). Narrow frame
+    # (id + two ints per row per table); retired at the next call.
+    from pyspark.storagelevel import StorageLevel
+
+    _retire_cand_cache()
+    ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
+    _CAND_CACHE.append(ids)
     sizes = ids.groupBy("table", "bucket").agg(
         F.count("*").alias("bucket_size")
     )
@@ -144,6 +180,7 @@ def ann_topk(
     tables: int = 8, seed: int = 42, id_col: str = "vec_id",
     vec_col: str = "embedding", min_cosine: float | None = None,
     bucket_cap: int = 4096, return_report: bool = False,
+    n_rows: int | None = None,
 ):
     """Approximate all-pairs top-k via multi-table RP-LSH: candidates are
     the union of same-(table, bucket) pairs over ``tables`` independent
@@ -159,7 +196,7 @@ def ann_topk(
     ``return_report=True`` for ``(topk, hot_report)``). Norms are
     computed once per row, not once per candidate pair."""
     if bits is None:
-        bits = derive_rp_bits(corpus.count())
+        bits = derive_rp_bits(_corpus_rows(corpus, n_rows))
     cand_ids, hot_report = ann_candidate_ids(
         corpus, dim, bits, tables, seed, id_col, vec_col, bucket_cap
     )
@@ -206,6 +243,7 @@ def embedding_near_dup_pairs(
     bits: int | None = None, tables: int = 8, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
     bucket_cap: int = 4096, return_report: bool = False,
+    n_rows: int | None = None,
 ):
     """Embedding-cosine near-dup edges (id_a < id_b, cosine ≥ threshold)
     — candidates from multi-table RP-LSH buckets, never the cross join.
@@ -220,7 +258,7 @@ def embedding_near_dup_pairs(
     hot-BUCKET cap, which is counted and reported, never silent
     (``return_report=True`` → ``(edges, hot_report)``)."""
     if bits is None:
-        bits = derive_rp_bits(corpus.count())
+        bits = derive_rp_bits(_corpus_rows(corpus, n_rows))
     cand_ids, hot_report = ann_candidate_ids(
         corpus, dim, bits, tables, seed, id_col, vec_col, bucket_cap
     )

@@ -92,6 +92,11 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+#: rounds/probes executed by the most recent connected_components call
+#: in this process — diagnostic only, never read by the algorithm.
+LAST_RUN_STATS: dict = {}
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 25, checkpoint_dir: str | None = None
 ) -> DataFrame:
@@ -149,30 +154,28 @@ def connected_components(
     e, prev = cut(_canonical(edges), -1)
     it = 0
     converged = False
-    # ADAPTIVE probe cadence, per-ROUND convergence detection. The cut
-    # (parquet write + read-back, or localCheckpoint materialization)
-    # and the checksum are the stage's sequential-job tail — at bench
-    # scale each round's shuffle work is smaller than the scheduler
-    # latency of its barrier jobs, so probing every round made CC
-    # latency-bound (round-4 scaling verdict). Stacking TWO large/small-
-    # star rounds per cut halves the barrier count, but certifying
-    # convergence only at probe boundaries made shallow graphs (the
-    # common case: near-dup clusters are 2-5 node components, fixpoint
-    # after 1-2 rounds) execute up to 2 extra no-op star rounds — an
-    # A/B on the 200k-file bench edge set measured that variant at
-    # 12.2 s median vs 7.3 s for round-4's probe-every-round. This
-    # version keeps BOTH properties: the intermediate round's checksum
-    # rides the SAME job as an observed metric (Observation reports at
-    # any plan node, no extra action), so every round is convergence-
-    # checked while deep graphs still pay one barrier per two rounds;
-    # the first probe covers a single round so 1-2-round graphs stop
-    # after ≤1 wasted round. Same-corpus A/B: 6.9 s median, at half the
-    # barriers of the round-4 form on graphs that iterate past round 1.
+    # DEPTH-ADAPTIVE probe cadence, per-ROUND convergence detection.
+    # The cut (parquet write + read-back, or localCheckpoint
+    # materialization) and the checksum are the stage's sequential-job
+    # tail — at bench scale each round's shuffle work is smaller than
+    # the scheduler latency of its barrier jobs, so halving the barrier
+    # count by stacking TWO large/small-star rounds per cut pays on deep
+    # graphs. But the common case is SHALLOW: near-dup clusters are
+    # 2-5-node components, fixpoint after 1-2 rounds, and round 5's
+    # stack-after-the-first-probe form made those graphs execute a
+    # wasted full-edge-set star round per run (official bench: CC
+    # 3.49 s → 5.2-7.8 s, the round-5 regression). This form probes
+    # EVERY round while the graph is shallow and starts stacking only
+    # once it has proven deep (3 rounds without fixpoint — beyond every
+    # bench/test corpus, where the O(log n) tail is what stacking is
+    # for). Each probe stays ONE Spark job either way: a stacked
+    # intermediate round's checksum rides the same job as an observed
+    # metric, the final round's rides the checkpoint write / lazy-cut
+    # agg. A/B at the official 40k corpus: probe-every-round 3.3-3.6 s
+    # vs 5.5-5.8 s stacked (see OPTIMIZATION_r06.md).
     probe = 0
-    rounds_next = 1
     while it < max_iter and not converged:
-        take = min(rounds_next, max_iter - it)
-        rounds_next = 2
+        take = min(2 if it >= 3 else 1, max_iter - it)
         mids = []
         for r in range(take):
             e = _small_star(_large_star(e))
@@ -197,6 +200,11 @@ def connected_components(
         prev = fin
     if not converged:
         raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+    # diagnostic counters (module-level, overwritten per call): lets the
+    # bench/pipeline metrics pin the probe cadence so a regression in
+    # rounds-per-graph-depth is observable, not inferred from wall time
+    LAST_RUN_STATS.clear()
+    LAST_RUN_STATS.update({"rounds": it, "probes": probe})
 
     # converged edge set is a forest of stars: u → component-min
     members = e.select(F.col("u").alias("file_id"), F.col("v").alias("cluster_id"))

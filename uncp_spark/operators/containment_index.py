@@ -15,11 +15,14 @@ Plan shape (the 100 TB-safe construction):
             for A ⊆ B, P(some id of A's sketch ranks in B's bottom m)
             ≈ 1 - exp(-m / (|B|/|A|)).
   buckets   groupBy shid. Sizes are counted FIRST (map-side-combinable
-            count, never collect_list on an uncapped key): buckets over
-            ``hot_shingle_cap`` are dropped — via a broadcast anti-join,
-            so the index is exchanged exactly once — AND reported: a
-            shingle shared by 10^6 files is boilerplate whose pairs are
-            noise, and the one way this index goes quadratic.
+            count, never collect_list on an uncapped key): only shids
+            with 2 ≤ size ≤ ``hot_shingle_cap`` reach the collect_list
+            — a semi-join drops singletons (the large majority of a
+            bottom-k index) and hot shids map-side, so the data-sized
+            exchange carries shared entries only. Over-cap shids are
+            additionally REPORTED: a shingle shared by 10^6 files is
+            boilerplate whose pairs are noise, and the one way this
+            index goes quadratic.
   pairs     the same O(n)-peak-memory JVM pair expansion as the LSH
             tier. Never a self-join, never a cross join.
             A SIZE-RATIO FLOOR (config.containment_ratio_min) drops
@@ -85,23 +88,27 @@ def containment_candidates(
     # on buckets this pass proved sub-cap.
     sizes = ent.groupBy("shid").agg(F.count("*").alias("bucket_size"))
     hot_report = sizes.filter(F.col("bucket_size") > cfg.hot_shingle_cap)
-    # pass 2 — ONE exchange of the index: hot shingles are excluded via
-    # a broadcast anti-join (the hot set is small by construction —
-    # pathological boilerplate windows; if a corpus ever produces an
-    # unbroadcastable hot set, AQE degrades this to a shuffle join,
-    # correct either way), then a single groupBy builds the sub-cap
-    # buckets. Singletons and stragglers die in the post-agg size
-    # filter — cheaper than a second full exchange to pre-join an
-    # "ok buckets" list that covers ~99% of all buckets anyway.
+    # pass 2 — ONE exchange of the SURVIVING index: entries are
+    # semi-joined to the shids pass 1 proved shareable (2 ≤ size ≤ cap)
+    # BEFORE the collect_list groupBy. Singleton shids are the large
+    # majority of a bottom-k index (256 mostly-unique ids per distinct
+    # content), so filtering them map-side shrinks the only data-sized
+    # exchange ~3x on the bench corpus (7.7M → 2.7M entry rows; the
+    # round-5 form anti-joined hot shids only and shuffled every
+    # singleton into the groupBy just to drop it in a post-agg size
+    # filter). Join strategy is left to AQE: the ok-list is one 8-byte
+    # id per shared shid (broadcast at bench scale); if a corpus ever
+    # outgrows the threshold the semi-join degrades to a shuffle that
+    # the groupBy then reuses (same partitioning, no extra exchange) —
+    # never worse than the unfiltered form, correct either way.
+    ok = sizes.filter(
+        (F.col("bucket_size") >= 2)
+        & (F.col("bucket_size") <= cfg.hot_shingle_cap)
+    ).select("shid")
     buckets = (
-        ent.join(F.broadcast(hot_report.select("shid")), "shid", "left_anti")
+        ent.join(ok, "shid", "left_semi")
         .groupBy("shid")
         .agg(F.sort_array(F.collect_list(F.struct("file_id", "n"))).alias("ids"))
-        .select("ids", F.size("ids").alias("bucket_size"))
-        .filter(
-            (F.col("bucket_size") >= 2)
-            & (F.col("bucket_size") <= cfg.hot_shingle_cap)
-        )
         .select("ids")
     )
     # size-ratio floor (config.containment_ratio_min: lossless — a

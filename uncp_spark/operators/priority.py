@@ -82,20 +82,39 @@ def global_rank(df: DataFrame, order: list, band: "F.Column",
         "_local_rank",
         F.row_number().over(Window.partitionBy("_band").orderBy(*order)),
     )
-    # single-partition BY CONSTRUCTION bounded: input is one row per
-    # band (≤ ~64), not a data-sized frame — the in-plan analogue of
-    # the tiny driver-side offset array
-    wb = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("_band")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
+    # Band offsets = exclusive prefix sum of per-band counts. The band
+    # count frame is ≤ ~64 rows BY CONSTRUCTION (one per log2 bucket of
+    # a 64-bit value), so the prefix sum collapses it to ONE array row
+    # (collect_list over the already-aggregated band counts, never over
+    # data rows) and computes each band's offset with a bounded
+    # higher-order aggregate — no window at all. The previous form used
+    # `Window.partitionBy(F.lit(0))`: Catalyst folds the constant away,
+    # leaving an empty partition spec, and Spark logged the
+    # single-partition `WindowExec` warning on every priority run —
+    # indistinguishable in logs from a real unbounded-window
+    # scale-killer. Same offsets, same one data-sized aggregation.
+    counts_arr = (
         banded.groupBy("_band")
         .agg(F.count("*").alias("_n"))
-        .withColumn("_offset", F.coalesce(F.sum("_n").over(wb), F.lit(0)))
-        .select("_band", "_offset")
+        .agg(F.sort_array(F.collect_list(F.struct("_band", "_n"))).alias("_arr"))
     )
+    # filter first: empty input leaves the no-group agg's single row
+    # holding an empty array, and sequence(1, 0) would DESCEND
+    offsets = counts_arr.filter(F.size("_arr") > 0).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_arr")),
+                lambda i: F.struct(
+                    F.element_at("_arr", i)["_band"].alias("_band"),
+                    F.aggregate(
+                        F.slice("_arr", 1, i - 1),
+                        F.lit(0).cast("long"),
+                        lambda acc, s: acc + s["_n"],
+                    ).alias("_offset"),
+                ),
+            )
+        ).alias("_s")
+    ).select("_s._band", "_s._offset")
     return (
         local.join(F.broadcast(offsets), "_band")
         .withColumn(rank_col, (F.col("_offset") + F.col("_local_rank")).cast("int"))
@@ -121,11 +140,11 @@ def priority_ranked(clusters: DataFrame, top_k: int | None = None) -> DataFrame:
     the distributed ``global_rank``."""
     order = _priority_order()
     if top_k is not None:
+        # rank the bounded head via the same banded path: a global
+        # Window.orderBy here (even over ≤ top_k rows) logs the
+        # single-partition WindowExec warning on every run
         head = clusters.orderBy(*order).limit(top_k)
-        ranked = head.withColumn(
-            "priority_rank",
-            F.row_number().over(Window.orderBy(*order)),
-        )
+        ranked = global_rank(head, order, _priority_band())
     else:
         ranked = global_rank(clusters, order, _priority_band())
     return (
