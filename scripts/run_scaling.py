@@ -373,7 +373,7 @@ as the upper bound for pure-compute work.
 {report['normalized_efficiency_vs_host_ceiling']}; ÷ shuffle ceiling:
 {report['normalized_efficiency_vs_shuffle_ceiling']}**
 
-### Median-of-windows estimators (noise-robust)
+### Median-of-windows estimators ({"noise-robust" if args.runs > 1 else "SINGLE WINDOW — medians below degenerate to that one window; see a companion window for replication"})
 
 Best-of-arm pairs the quietest {lo}-arm with the quietest {hi}-arm, which
 may come from different windows — a biased ratio under this host's
@@ -421,7 +421,13 @@ ceiling for these stages — all of them move data:
     # / A/B sections are appended verbatim and updated by hand when the
     # measurements they cite are refreshed)
     narrative = os.path.join(REPO, "scripts", "BENCH_NARRATIVE.md")
-    if os.path.exists(narrative) and not args.no_narrative:
+    # the narrative's analysis applies to the OFFICIAL 200k-corpus
+    # protocol only: any run redirected to a non-default --md-out is a
+    # non-official artifact, so skip the narrative automatically there
+    # (--no-narrative remains the explicit override for the default path)
+    is_official_md = os.path.abspath(args.md_out) == os.path.abspath(
+        os.path.join(REPO, "BENCH.md"))
+    if os.path.exists(narrative) and not args.no_narrative and is_official_md:
         with open(narrative) as f:
             md += "\n" + f.read()
     with open(args.md_out, "w") as f:

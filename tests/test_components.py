@@ -68,15 +68,17 @@ def test_cc_deterministic_cluster_ids(spark):
 
 
 def test_cc_probe_cadence_shallow_graph(spark):
-    """A graph already in star form reaches fixpoint after ONE round and
-    the probe-every-round cadence must detect that immediately — the
-    round-5 regression executed a stacked second full-edge-set star
-    round on exactly this shape (the bench corpus's dominant case)."""
+    """A graph already in star form hits its fixpoint in round 1 and the
+    probe-every-round cadence detects that at round 2 (c2 == c1; local
+    mode skips the input-checksum barrier, so the baseline for a
+    round-1 no-op does not exist) — the round-5 regression executed a
+    stacked EXTRA full-edge-set star round past this point on exactly
+    this shape (the bench corpus's dominant case)."""
     from uncp_spark.operators import components as cc
 
     edges = [(0, i) for i in range(1, 7)]
     _run_cc(spark, edges)
-    assert cc.LAST_RUN_STATS == {"rounds": 1, "probes": 1}
+    assert cc.LAST_RUN_STATS == {"rounds": 2, "probes": 2}
 
 
 def test_cc_probe_cadence_deep_graph_stacks(spark):

@@ -200,6 +200,14 @@ def ann_topk(
     cand_ids, hot_report = ann_candidate_ids(
         corpus, dim, bits, tables, seed, id_col, vec_col, bucket_cap
     )
+    # NOTE (r6, measured): scoring each unordered pair once and
+    # mirroring (halving the vector joins + dot products) was tried and
+    # REVERTED — the half-frame persist that reuse requires breaks
+    # pipelining into the top-k window exchange and measured ~0.9 s
+    # SLOWER per query at the bench corpus (plain 1.7-1.9 s vs mirrored
+    # 2.7-2.9 s over 4 interleaved iterations); the interpreted dot
+    # products are not the bottleneck at candidate volumes the bucket
+    # cap allows.
     cand = _exact_cosine(corpus, cand_ids, id_col, vec_col)
     if min_cosine is not None:
         cand = cand.filter(F.col("cosine") >= min_cosine)

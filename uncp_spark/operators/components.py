@@ -48,7 +48,17 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 def _large_star(e: DataFrame) -> DataFrame:
     """For each node, connect all strictly-larger neighbors to
-    min(N(u) ∪ {u})."""
+    min(N(u) ∪ {u}).
+
+    No ``distinct`` here: a round is ``_small_star(_large_star(e))`` and
+    small-star ends with the canonicalizing distinct, so deduping the
+    intermediate frame too costs one full exchange per round for nothing
+    (measured ~0.6 s/run at the 40k bench corpus). Duplicate rows are
+    harmless in between: small-star's ``min`` aggregate is
+    duplicate-insensitive and its relink duplicates die in the final
+    distinct, and the intermediate volume stays bounded — each
+    undirected input row emits at most one output row, so ≤ 2|E| rows
+    reach small-star instead of |E'| deduped ones."""
     und = e.select("u", "v").unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = (
         und.groupBy("u")
@@ -60,7 +70,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -151,7 +160,24 @@ def connected_components(
             out = df.localCheckpoint(eager=False)
             return out, _checksum(out)
 
-    e, prev = cut(_canonical(edges), -1)
+    if checkpoint_dir is not None:
+        # parquet mode: the initial write is the fault-tolerance anchor
+        # and its checksum rides the write job as observed metrics, so
+        # the input baseline is free here
+        e, prev = cut(_canonical(edges), -1)
+    else:
+        # local mode: a ZERO-job initial lineage cut. The lazy
+        # localCheckpoint still truncates the (possibly deep) upstream
+        # plan and guarantees the canonical edge set computes ONCE even
+        # though every star round references it several times (all plan
+        # references share one RDD). Skipping the input CHECKSUM drops
+        # one of the stage's three barrier jobs on the bench graph
+        # (~0.5-0.8 s); the only cost is that an input already at
+        # fixpoint is detected one round later (c2 == c1 instead of
+        # c1 == c0) — one no-op star round on already-star graphs,
+        # roughly the price of the barrier it replaces.
+        e = _canonical(edges).localCheckpoint(eager=False)
+        prev = None
     it = 0
     converged = False
     # DEPTH-ADAPTIVE probe cadence, per-ROUND convergence detection.
@@ -193,7 +219,7 @@ def connected_components(
         # adjacent pair means one star round was a no-op — a fixpoint
         # (round(x) == x implies round(round(x)) == x, so the frame
         # after the remaining stacked rounds is that same fixpoint)
-        chain = [prev]
+        chain = [prev] if prev is not None else []
         chain += [(int(o.get["n"]), int(o.get["h"])) for o in mids]
         chain.append(fin)
         converged = any(a == b for a, b in zip(chain, chain[1:]))

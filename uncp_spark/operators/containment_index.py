@@ -64,19 +64,19 @@ def containment_entries(sigs: DataFrame, id_col: str = "file_id") -> DataFrame:
     )
 
 
-def containment_candidates(
+def _containment_pair_rows(
     sigs: DataFrame | None,
     cfg: SimilarityConfig,
     id_col: str = "file_id",
     entries: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """→ (pairs(src < dst, from_hot_band=False), hot_shingle_report).
+    """→ (raw_pairs(src < dst) — ONE ROW PER SHARED SKETCH ID, i.e.
+    before the shared-count aggregation — and hot_shingle_report).
 
-    ``entries``: optional precomputed/persisted (shid, file_id) table —
-    the batch pipeline passes its checkpointed index and the incremental
-    path restricts it to buckets touched by a delta. When given,
-    ``sigs`` is unused (may be None).
-    """
+    Split out so ``combined_candidate_pairs`` can fold the
+    ``containment_min_shared`` count into its cross-tier dedup groupBy
+    (one exchange instead of two); ``containment_candidates`` keeps the
+    standalone aggregate for callers that want this tier alone."""
     ent = entries if entries is not None else containment_entries(sigs, id_col)
     # shuffle-interior id interning (see lsh.intern_hex_id): the index
     # carries an id in every entry row and bucket array; binary(16)
@@ -127,7 +127,7 @@ def containment_candidates(
     buckets = buckets.filter(
         F.array_max(ns).cast("double") >= ratio * F.array_min(ns).cast("double")
     )
-    pairs = (
+    raw = (
         _explode_pairs(buckets)
         .filter(
             F.greatest(F.col("src.n"), F.col("dst.n")).cast("double")
@@ -137,7 +137,28 @@ def containment_candidates(
             F.col("src.file_id").alias("src"),
             F.col("dst.file_id").alias("dst"),
         )
-        .groupBy("src", "dst")
+    )
+    if interned:
+        raw = extern_hex_id(raw, "src", "dst")
+    return raw, hot_report
+
+
+def containment_candidates(
+    sigs: DataFrame | None,
+    cfg: SimilarityConfig,
+    id_col: str = "file_id",
+    entries: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (pairs(src < dst, from_hot_band=False), hot_shingle_report).
+
+    ``entries``: optional precomputed/persisted (shid, file_id) table —
+    the batch pipeline passes its checkpointed index and the incremental
+    path restricts it to buckets touched by a delta. When given,
+    ``sigs`` is unused (may be None).
+    """
+    raw, hot_report = _containment_pair_rows(sigs, cfg, id_col, entries)
+    pairs = (
+        raw.groupBy("src", "dst")
         .agg(F.count("*").alias("shared"))
         # evidence floor: a true containment pair at size ratio r shares
         # ~m/r indexed ids (λ = m/r Poisson), so requiring ≥2 barely
@@ -150,8 +171,6 @@ def containment_candidates(
         .filter(F.col("shared") >= cfg.containment_min_shared)
         .select("src", "dst", F.lit(False).alias("from_hot_band"))
     )
-    if interned:
-        pairs = extern_hex_id(pairs, "src", "dst")
     return pairs, hot_report
 
 
@@ -168,16 +187,40 @@ def combined_candidate_pairs(
     The one candidate-generation entry point the batch pipeline, bench,
     and driver queries share: Jaccard-reachable pairs come from the band
     tier, low-Jaccard/high-containment pairs from the sketch index, and
-    the verify stage decides both under one acceptance rule."""
+    the verify stage decides both under one acceptance rule.
+
+    The containment tier's ``containment_min_shared`` count is folded
+    INTO the cross-tier dedup groupBy (raw shared-id rows union the band
+    pairs; one exchange decides both the shared-count floor and the
+    dedup) — the standalone ``containment_candidates`` aggregate would
+    exchange the containment pair set twice for identical output
+    (measured ~1 s at the 40k bench corpus). A pair is kept iff the
+    band tier proposed it OR it shares ≥ min_shared sketch ids — exactly
+    the union of the two tiers' standalone outputs."""
     from uncp_spark.operators.lsh import candidate_pairs
 
     lsh_pairs, hot_bands = candidate_pairs(sigs, cfg, id_col=id_col, bands=bands)
-    cont_pairs, hot_shingles = containment_candidates(
+    cont_raw, hot_shingles = _containment_pair_rows(
         sigs, cfg, id_col=id_col, entries=entries
     )
+    u = lsh_pairs.select(
+        "src", "dst", "from_hot_band",
+        F.lit(True).alias("_band_tier"), F.lit(0).alias("_shared"),
+    ).unionByName(cont_raw.select(
+        "src", "dst", F.lit(False).alias("from_hot_band"),
+        F.lit(False).alias("_band_tier"), F.lit(1).alias("_shared"),
+    ))
     pairs = (
-        lsh_pairs.unionByName(cont_pairs)
-        .groupBy("src", "dst")
-        .agg(F.max("from_hot_band").alias("from_hot_band"))
+        u.groupBy("src", "dst")
+        .agg(
+            F.max("from_hot_band").alias("from_hot_band"),
+            F.max("_band_tier").alias("_band_tier"),
+            F.sum("_shared").alias("_shared"),
+        )
+        .filter(
+            F.col("_band_tier")
+            | (F.col("_shared") >= cfg.containment_min_shared)
+        )
+        .select("src", "dst", "from_hot_band")
     )
     return pairs, hot_bands, hot_shingles

@@ -53,6 +53,13 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # parquet codec stays on the snappy default DELIBERATELY: zstd
+        # was measured (r6) at 13% smaller signature files (55 vs 63 MB)
+        # and equal write time, but the candidate tiers re-read the
+        # signature table's wide array columns several times per run and
+        # zstd DECODE made lsh_pairs 4.4 s -> 7.5 s (noise_spread 1.03,
+        # three consistent passes) — a decode-bound regression the
+        # write-side A/B (count() prunes all columns) did not see.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
